@@ -1,0 +1,138 @@
+"""DynamicResNet supernet backbone — shape-stable masked elasticity.
+
+Capability parity with the reference's primary supernet backbone
+(reference gaiaseg/models/backbones/dynamic_resnet.py:25-421):
+``search_space = {'stem','body'}``; config params ``stem_width``,
+``body_width=[w1..w4]``, ``body_depth=[d1..d4]`` define the MAX net; per-stage
+``strides``/``dilations``, ``deep_stem``, ``avg_down``, ``contract_dilation``
+(v1c variant), ``out_indices``, ``norm_eval``.
+
+TPU-first redesign: instead of attribute-write manipulation + Python block
+loops (reference dynamic_res_layer.py:149-172 — a recompile per subnet under
+XLA), the active arch arrives as a traced pytree
+``{'stem': {'width': i32[s]}, 'body': {'width': i32[4], 'depth': i32[4]}}``;
+width becomes channel masks, depth becomes per-block active flags. One
+compiled graph serves all ~28k subnets of the ar50to101v2 space.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.blocks import DynBottleneck, DynConvModule
+from ...ops.masking import channel_mask
+from ...utils.registry import BACKBONES
+
+Array = jnp.ndarray
+
+
+class DynResLayer(nn.Module):
+    """One elastic ResNet stage: block0 (stride + projection shortcut, always
+    active since min depth >= 1) + depth-masked tail blocks."""
+
+    planes: int                 # MAX mid width of this stage
+    max_depth: int
+    strides: int = 1
+    dilation: int = 1
+    avg_down: bool = False
+    contract_dilation: bool = False
+    expansion: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, width: Array, depth: Array, *,
+                 train: bool = False) -> Array:
+        out_mask = channel_mask(width * self.expansion,
+                                self.planes * self.expansion, self.dtype)
+        first_dilation = self.dilation
+        if self.contract_dilation and self.dilation > 1:
+            first_dilation = self.dilation // 2
+        x = DynBottleneck(self.planes, self.expansion, self.strides,
+                          first_dilation, has_downsample=True,
+                          avg_down=self.avg_down, dtype=self.dtype,
+                          name="block0")(x, width, out_mask, train=train)
+        for i in range(1, self.max_depth):
+            active = jnp.asarray(i, jnp.int32) < depth
+            x = DynBottleneck(self.planes, self.expansion, 1, self.dilation,
+                              has_downsample=False, dtype=self.dtype,
+                              name=f"block{i}")(
+                x, width, out_mask, train=train, active=active)
+        return x
+
+
+@BACKBONES.register_module()
+class DynamicResNet(nn.Module):
+    stem_width: Any = 64                      # int, or [w1,w2,w3] with deep_stem
+    body_width: Sequence[int] = (80, 160, 320, 640)
+    body_depth: Sequence[int] = (4, 6, 29, 4)
+    strides: Sequence[int] = (1, 2, 2, 2)
+    dilations: Sequence[int] = (1, 1, 1, 1)
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    deep_stem: bool = False
+    avg_down: bool = False
+    contract_dilation: bool = False
+    norm_eval: bool = False
+    frozen_stages: int = -1                   # applied via optimizer masking
+    dtype: Any = jnp.bfloat16
+
+    search_space = ("stem", "body")
+
+    @property
+    def stem_widths(self) -> Tuple[int, ...]:
+        if isinstance(self.stem_width, (list, tuple)):
+            return tuple(self.stem_width)
+        if self.deep_stem:
+            w = int(self.stem_width)
+            return (w // 2, w // 2, w)
+        return (int(self.stem_width),)
+
+    def max_arch(self) -> Dict[str, Any]:
+        """Nested arch dict at MAX, the template metas merge over."""
+        sw = self.stem_widths
+        return {
+            "stem": {"width": list(sw) if len(sw) > 1 else sw[0]},
+            "body": {"width": list(self.body_width),
+                     "depth": list(self.body_depth)},
+        }
+
+    def out_channels(self) -> Tuple[int, ...]:
+        return tuple(self.body_width[i] * 4 for i in self.out_indices)
+
+    @nn.compact
+    def __call__(self, x: Array, arch: Dict[str, Any], *,
+                 train: bool = False):
+        bn_train = train and not self.norm_eval
+        stem_w = jnp.atleast_1d(jnp.asarray(arch["stem"]["width"], jnp.int32))
+        widths = jnp.asarray(arch["body"]["width"], jnp.int32)
+        depths = jnp.asarray(arch["body"]["depth"], jnp.int32)
+
+        sws = self.stem_widths
+        if self.deep_stem:
+            for i, w_max in enumerate(sws):
+                w_act = stem_w[i] if stem_w.shape[0] == len(sws) else \
+                    (stem_w[0] // 2 if i < 2 else stem_w[0])
+                mask = channel_mask(w_act, w_max, self.dtype)
+                x = DynConvModule(w_max, 3, 2 if i == 0 else 1, norm="bn",
+                                  act="relu", dtype=self.dtype,
+                                  name=f"stem{i}")(x, mask, train=bn_train)
+        else:
+            mask = channel_mask(stem_w[0], sws[0], self.dtype)
+            x = DynConvModule(sws[0], 7, 2, norm="bn", act="relu",
+                              dtype=self.dtype, name="stem0")(
+                x, mask, train=bn_train)
+        # 3x3/2 max pool, torch-style pad 1
+        x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
+
+        outs = []
+        for i in range(4):
+            x = DynResLayer(self.body_width[i], self.body_depth[i],
+                            self.strides[i], self.dilations[i],
+                            avg_down=self.avg_down,
+                            contract_dilation=self.contract_dilation,
+                            dtype=self.dtype, name=f"layer{i + 1}")(
+                x, widths[i], depths[i], train=bn_train)
+            if i in self.out_indices:
+                outs.append(x)
+        return tuple(outs)

@@ -1,0 +1,129 @@
+"""Composite masked blocks: DynConvModule and DynBottleneck.
+
+Equivalents of gaiavision ``DynamicConvModule`` (conv+norm+act bundle used by
+every decode head, reference dynamic_psp_head.py:20,53) and
+``DynamicBottleneck`` (reference dynamic_res_layer.py:13,72, expansion=4).
+
+The reference threads a ``channel_record`` through ConvModule so it can slice
+a concatenated input whose segments have varying active widths
+(reference psp_head.py:235-239). Masking makes concat widths static, so that
+machinery collapses: each concat segment is already masked — a genuine
+simplification called out in SURVEY.md §7 hard-part (d).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Union, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .dynamic_layers import DynBatchNorm, DynConv2d, DynLayerNorm
+from .masking import channel_mask
+
+Array = jnp.ndarray
+
+
+def get_act(name: Optional[str]):
+    if name in (None, "none"):
+        return lambda x: x
+    return {"relu": nn.relu, "gelu": nn.gelu, "silu": nn.silu,
+            "sigmoid": nn.sigmoid}[name.lower()]
+
+
+class DynConvModule(nn.Module):
+    """conv -> norm -> act with traced output-width masking."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    strides: Union[int, Tuple[int, int]] = 1
+    dilation: Union[int, Tuple[int, int]] = 1
+    norm: Optional[str] = "bn"           # 'bn' | 'ln' | None
+    act: Optional[str] = "relu"
+    use_bias: Optional[bool] = None      # default: bias iff no norm
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, out_mask: Optional[Array] = None, *,
+                 train: bool = False,
+                 update_gate: Optional[Array] = None) -> Array:
+        bias = self.use_bias if self.use_bias is not None else self.norm is None
+        y = DynConv2d(self.features, self.kernel_size, self.strides,
+                      self.dilation, use_bias=bias, dtype=self.dtype,
+                      name="conv")(x, out_mask)
+        if self.norm == "bn":
+            y = DynBatchNorm(self.features, dtype=self.dtype, name="bn")(
+                y, out_mask, use_running_average=not train,
+                update_gate=update_gate)
+        elif self.norm == "ln":
+            y = DynLayerNorm(self.features, dtype=self.dtype, name="ln")(y, out_mask)
+        return get_act(self.act)(y)
+
+
+class DynBottleneck(nn.Module):
+    """Masked ResNet bottleneck (1x1 -> 3x3 -> 1x1, expansion 4).
+
+    ``width`` is the traced active mid-width ("planes"); the output width is
+    ``4*width`` via ``out_mask``. ``active`` is the traced depth flag: an
+    inactive block passes its input through untouched AND freezes its BN
+    running stats — matching the reference where blocks beyond
+    ``depth_state`` simply do not run (dynamic_res_layer.py:170-172).
+    """
+
+    planes: int                 # MAX mid width
+    expansion: int = 4
+    strides: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+    avg_down: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, width: Array, out_mask: Array, *,
+                 train: bool = False,
+                 active: Optional[Array] = None) -> Array:
+        mid_mask = channel_mask(width, self.planes, self.dtype)
+        gate = active if active is not None else None
+        out_ch = self.planes * self.expansion
+
+        y = DynConv2d(self.planes, 1, 1, use_bias=False, dtype=self.dtype,
+                      name="conv1")(x, mid_mask)
+        y = DynBatchNorm(self.planes, dtype=self.dtype, name="bn1")(
+            y, mid_mask, use_running_average=not train, update_gate=gate)
+        y = nn.relu(y)
+
+        y = DynConv2d(self.planes, 3, self.strides, self.dilation,
+                      use_bias=False, dtype=self.dtype, name="conv2")(y, mid_mask)
+        y = DynBatchNorm(self.planes, dtype=self.dtype, name="bn2")(
+            y, mid_mask, use_running_average=not train, update_gate=gate)
+        y = nn.relu(y)
+
+        y = DynConv2d(out_ch, 1, 1, use_bias=False, dtype=self.dtype,
+                      name="conv3")(y, out_mask)
+        y = DynBatchNorm(out_ch, dtype=self.dtype, name="bn3")(
+            y, out_mask, use_running_average=not train, update_gate=gate)
+
+        if self.has_downsample:
+            identity = x
+            if self.avg_down and self.strides > 1:
+                identity = nn.avg_pool(identity,
+                                       (self.strides, self.strides),
+                                       (self.strides, self.strides))
+                ds_stride = 1
+            else:
+                ds_stride = self.strides
+            identity = DynConv2d(out_ch, 1, ds_stride, use_bias=False,
+                                 dtype=self.dtype, name="downsample_conv")(
+                identity, out_mask)
+            identity = DynBatchNorm(out_ch, dtype=self.dtype,
+                                    name="downsample_bn")(
+                identity, out_mask, use_running_average=not train,
+                update_gate=gate)
+        else:
+            identity = x
+
+        out = nn.relu(y + identity)
+        if active is not None:
+            # depth-inactive block == not executed: output is the input
+            out = jnp.where(active, out, identity)
+        return out

@@ -1,0 +1,215 @@
+"""Masked dynamic layers: DynConv2d / DynLinear / DynBatchNorm / DynLayerNorm.
+
+TPU-native re-design of the gaiavision dynamic-op substrate the reference
+builds on (SURVEY.md §2.9): gaiavision stores weights at MAX shape and
+*slices* them per subnet (``weight[:out_active, :in_active]``), which is a
+recompile per shape under XLA. Here weights stay at MAX shape and the active
+width arrives as a **traced** int -> channel mask; inactive lanes are zeroed.
+For any op whose inactive input lanes are zero, masking is numerically
+identical to slicing (property-tested in tests/test_dynamic_ops.py).
+
+Layout is NHWC (TPU-native); compute dtype defaults to bfloat16 with float32
+accumulation on the MXU; norm statistics are float32.
+
+DynSyncBN note: under ``jit`` with the batch sharded over the ``data`` mesh
+axis, ``jnp.mean`` over the batch axis is a *global* mean — XLA inserts the
+ICI all-reduce. Cross-replica BN sync (reference mmcv SyncBN / gaiavision
+DynSyncBN, NCCL allreduce) therefore needs no explicit collective here.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .masking import active_count
+
+Array = jnp.ndarray
+Dtype = Any
+
+
+def _pair(v) -> Tuple[int, int]:
+    if isinstance(v, (tuple, list)):
+        return (int(v[0]), int(v[1]))
+    return (int(v), int(v))
+
+
+conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+class DynConv2d(nn.Module):
+    """Conv2d over NHWC with traced-width output masking.
+
+    Equivalent of gaiavision ``DynamicConv2d`` (``type='DynConv2d'`` in
+    reference configs, e.g. pspnet_ar50to101v2_gsync.py:19). Padding is
+    torch-style symmetric ``dilation*(k-1)//2`` so converted PyTorch
+    checkpoints are bit-faithful at borders.
+    """
+
+    features: int                      # MAX output channels
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    strides: Union[int, Tuple[int, int]] = 1
+    dilation: Union[int, Tuple[int, int]] = 1
+    groups: int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = conv_kernel_init
+
+    @nn.compact
+    def __call__(self, x: Array, out_mask: Optional[Array] = None) -> Array:
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.strides)
+        dh, dw = _pair(self.dilation)
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (kh, kw, in_ch // self.groups, self.features), self.param_dtype)
+        pad_h = dh * (kh - 1) // 2
+        pad_w = dw * (kw - 1) // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(sh, sw),
+            padding=((pad_h, pad_h), (pad_w, pad_w)),
+            rhs_dilation=(dh, dw),
+            feature_group_count=self.groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        if out_mask is not None:
+            y = y * out_mask.astype(self.dtype)
+        return y
+
+
+class DynLinear(nn.Module):
+    """Linear with traced-width output masking (gaiavision ``DynamicLinear``,
+    reference dynamic_convnext.py:25,67-71)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x: Array, out_mask: Optional[Array] = None) -> Array:
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), self.param_dtype)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                    preferred_element_type=jnp.float32).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        if out_mask is not None:
+            y = y * out_mask.astype(self.dtype)
+        return y
+
+
+class DynBatchNorm(nn.Module):
+    """Masked batch norm; per-channel, so masking IS slice-BN semantics.
+
+    Running statistics update only on active channels (the reference's
+    DynBN tracks stats for the active slice only; SURVEY.md §2.9). Under a
+    sharded batch this is sync-BN with a global group for free (see module
+    docstring); ``group_size`` is accepted for config parity — the canonical
+    config uses ``group_size=1`` (per-device stats), which we intentionally
+    replace with global sync: strictly lower-variance statistics.
+    """
+
+    features: int
+    momentum: float = 0.9      # decay of the OLD running stat (torch momentum=0.1)
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    group_size: int = 0        # 0/1 => see docstring; kept for config parity
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None, *,
+                 use_running_average: bool,
+                 update_gate: Optional[Array] = None) -> Array:
+        """``update_gate``: optional traced bool — running stats update is
+        skipped when False (inactive depth-masked blocks must not pollute
+        stats)."""
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            reduce_axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=reduce_axes)
+            mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing() and self.is_mutable_collection("batch_stats"):
+                n = 1.0
+                for a in reduce_axes:
+                    n = n * x.shape[a]
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+                gate = jnp.ones((c,), bool) if mask is None else (mask > 0)
+                if update_gate is not None:
+                    gate = jnp.logical_and(gate, update_gate)
+                new_mean = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                new_var = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
+                ra_mean.value = jnp.where(gate, new_mean, ra_mean.value)
+                ra_var.value = jnp.where(gate, new_var, ra_var.value)
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        if mask is not None:
+            y = y * mask.astype(y.dtype)
+        return y.astype(self.dtype)
+
+
+class DynLayerNorm(nn.Module):
+    """LayerNorm over the *active* channel slice only.
+
+    The masked mean/var divide by the active-channel count, matching
+    gaiavision DynLN/ElaLN slice semantics exactly (reference
+    dynamic_convnext.py:27,170; SURVEY.md §2.9). ``channels_last`` normalizes
+    axis -1 of NHWC / [B,N,C]; ``channels_first`` normalizes axis 1.
+    """
+
+    features: int
+    epsilon: float = 1e-6
+    data_format: str = "channels_last"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        axis = -1 if self.data_format == "channels_last" else 1
+        xf = x.astype(jnp.float32)
+        if mask is None:
+            mean = jnp.mean(xf, axis=axis, keepdims=True)
+            var = jnp.mean(jnp.square(xf - mean), axis=axis, keepdims=True)
+        else:
+            m = mask.astype(jnp.float32)
+            if axis == 1:
+                m = m.reshape((1, c) + (1,) * (x.ndim - 2))
+            cnt = active_count(mask)
+            xm = xf * m
+            mean = jnp.sum(xm, axis=axis, keepdims=True) / cnt
+            var = jnp.sum(jnp.square((xf - mean)) * m, axis=axis, keepdims=True) / cnt
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        sshape = (c,) if axis == -1 else ((1, c) + (1,) * (x.ndim - 2))
+        y = y * scale.reshape(sshape) + bias.reshape(sshape)
+        if mask is not None:
+            m = mask.astype(y.dtype)
+            if axis == 1:
+                m = m.reshape((1, c) + (1,) * (x.ndim - 2))
+            y = y * m
+        return y.astype(self.dtype)

@@ -1,0 +1,10 @@
+"""Force tests onto an 8-virtual-device CPU backend (SURVEY.md §4: simulate
+the mesh without TPUs). Must run before jax is imported anywhere."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
