@@ -1,0 +1,8 @@
+# 80k-iteration supernet schedule (reference pspnet config :175-180).
+optimizer = dict(type='SGD', lr=0.01, momentum=0.9, weight_decay=0.0005)
+optimizer_config = dict(grad_clip=dict(max_norm=20))
+lr_config = dict(policy='poly', power=0.9, min_lr=1e-4, by_epoch=False)
+lr_scaler = dict(policy='linear', base_lr=0.00125)
+runner = dict(type='IterBasedRunner', max_iters=80000)
+checkpoint_config = dict(by_epoch=False, interval=8000)
+evaluation = dict(interval=8000, metric='mIoU')

@@ -5,6 +5,7 @@ from .samplers import (AnchorSampler, BaseSampler, CandidateSampler,
                        RepeatSampler, build_model_sampler)
 from .rules import BaseRule, build_sample_rule
 from .model_space import ModelSpace, ModelSpaceManager
+from .complexity import get_model_complexity_info
 
 __all__ = [
     "fold_dict", "unfold_dict", "dl_to_ld", "ld_to_dl", "meta_hash",

@@ -1,0 +1,108 @@
+"""Host-side batch loader feeding device-resident augmentation.
+
+Replaces the reference's per-GPU DataLoader subprocess workers
+(SURVEY.md §3.1 PROCESS BOUNDARY): records are fixed-shape, IO is the only
+host work, and augmentation runs jitted on device, so a single prefetch
+thread keeps the TPU fed.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+
+class BatchLoader:
+    """Batches a dataset of fixed-shape records into numpy stacks.
+
+    ``shard_id``/``num_shards`` give per-process dataset sharding for
+    multi-host training (replaces DistributedSampler).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = True,
+                 shard_id: int = 0, num_shards: int = 1,
+                 prefetch: int = 2, infinite: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.prefetch = prefetch
+        self.infinite = infinite
+        self._epoch = 0
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(idx)
+        idx = idx[self.shard_id::self.num_shards]
+        return idx
+
+    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            idx = self._indices()
+            bs = self.batch_size
+            end = len(idx) - (len(idx) % bs)  # full batches only; tail below
+            for i in range(0, end, bs):
+                chunk = idx[i:i + bs]
+                recs = [self.dataset[int(j)] for j in chunk]
+                yield {
+                    "img": np.stack([r["img"] for r in recs]),
+                    "gt": np.stack([r["gt"] for r in recs]),
+                    "idx": np.asarray([r.get("idx", int(j))
+                                       for r, j in zip(recs, chunk)]),
+                }
+            tail = len(idx) % bs
+            if not self.drop_last and tail:
+                chunk = list(idx[end:]) + list(idx[:bs - tail])
+                recs = [self.dataset[int(j)] for j in chunk]
+                batch = {
+                    "img": np.stack([r["img"] for r in recs]),
+                    "gt": np.stack([r["gt"] for r in recs]),
+                    "idx": np.asarray(chunk),
+                    "pad_count": bs - tail,
+                }
+                yield batch
+            self._epoch += 1
+            if not self.infinite:
+                return
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: list = []
+
+        def worker():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            except BaseException as e:  # propagate into consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)

@@ -1,0 +1,73 @@
+"""mIoU / accuracy metrics via an on-device confusion matrix.
+
+Capability parity with mmseg's ``mean_iou`` used by ``dataset.evaluate``
+(reference tools/test_supernet.py:295-322, SURVEY.md §3.2: rank0 CPU
+confusion matrix). Here the confusion matrix accumulates on device —
+one ``[C+1, C+1]`` bincount per batch — and only the tiny matrix ever
+reaches the host, so evaluating the 1024x2048 val set never transfers
+full predictions.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def confusion_matrix(pred: Array, label: Array, num_classes: int) -> Array:
+    """[C, C] matrix (rows = gt, cols = pred); 255-ignored pixels dropped."""
+    valid = label != 255
+    gt = jnp.where(valid, label, num_classes).astype(jnp.int32)
+    pr = jnp.clip(pred, 0, num_classes - 1).astype(jnp.int32)
+    idx = gt * num_classes + pr
+    counts = jnp.bincount(idx.reshape(-1),
+                          length=(num_classes + 1) * num_classes)
+    return counts[: num_classes * num_classes].reshape(num_classes,
+                                                       num_classes)
+
+
+def iou_from_confusion(cm: np.ndarray) -> Dict[str, np.ndarray]:
+    cm = np.asarray(cm, np.float64)
+    inter = np.diag(cm)
+    union = cm.sum(0) + cm.sum(1) - inter
+    gt_total = cm.sum(1)
+    iou = np.where(union > 0, inter / np.maximum(union, 1), np.nan)
+    acc = np.where(gt_total > 0, inter / np.maximum(gt_total, 1), np.nan)
+    return {
+        "IoU": iou,
+        "Acc": acc,
+        "mIoU": float(np.nanmean(iou)),
+        "mAcc": float(np.nanmean(acc)),
+        "aAcc": float(inter.sum() / max(cm.sum(), 1)),
+    }
+
+
+class SegEvaluator:
+    """Streaming evaluator: feed (pred, label) batches, read mIoU at the end
+    (mmseg ``dataset.evaluate(results, metric='mIoU')`` equivalent)."""
+
+    def __init__(self, num_classes: int,
+                 class_names: Optional[Sequence[str]] = None):
+        self.num_classes = num_classes
+        self.class_names = class_names
+        self._cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+
+    def update(self, pred: Array, label: Array) -> None:
+        self._cm = self._cm + confusion_matrix(pred, label, self.num_classes)
+
+    def evaluate(self, metric: str = "mIoU") -> Dict[str, float]:
+        res = iou_from_confusion(np.asarray(self._cm))
+        out = {"mIoU": res["mIoU"], "mAcc": res["mAcc"], "aAcc": res["aAcc"]}
+        if self.class_names:
+            for name, v in zip(self.class_names, res["IoU"]):
+                out[f"IoU.{name}"] = float(v)
+        return out
+
+    def reset(self) -> None:
+        self._cm = jnp.zeros((self.num_classes, self.num_classes), jnp.int32)

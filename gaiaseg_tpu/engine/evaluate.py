@@ -1,0 +1,110 @@
+"""Evaluation loops: single-subnet eval + cross-architecture eval.
+
+Capability parity with the reference eval stack (SURVEY.md §2.1 test.py,
+§2.2 cross_arch_eval_hooks.py): iterate the val set, whole- or slide-mode
+inference, optional flip TTA, mIoU via confusion matrix;
+``cross_arch_evaluate`` re-runs the val set for every sampler anchor
+(R50/R77/R101) — the supernet-health integration test (SURVEY.md §4 item 2).
+
+TPU redesign: predictions never leave the device (confusion matrix
+accumulates on-chip), and switching subnets is a traced-arch swap with zero
+recompiles, which is what makes the >=500 subnets/hr target reachable.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import BatchLoader
+from ..data.metrics import SegEvaluator, confusion_matrix
+from ..data.pipeline_cfg import TestPipelineParams
+from ..data.transforms import prepare_eval_batch
+from ..models.arch_util import encode_arch
+
+logger = logging.getLogger("gaiaseg_tpu")
+
+
+def make_eval_step(model, num_classes: int, flip: bool = False):
+    """jitted: (variables, img, gt, arch) -> [C,C] confusion matrix."""
+
+    @jax.jit
+    def step(variables, img, gt, arch):
+        pred = model.apply(variables, img, arch, flip,
+                           method=model.simple_test)
+        return confusion_matrix(pred, gt, num_classes)
+
+    return step
+
+
+def evaluate(model, variables, dataset, arch, *,
+             test_params: Optional[TestPipelineParams] = None,
+             batch_size: int = 1, flip: bool = False,
+             eval_step=None, max_batches: Optional[int] = None
+             ) -> Dict[str, float]:
+    test_params = test_params or TestPipelineParams()
+    num_classes = model.num_classes
+    if eval_step is None:
+        eval_step = make_eval_step(model, num_classes, flip)
+    mean = jnp.asarray(test_params.mean)
+    std = jnp.asarray(test_params.std)
+    cm = jnp.zeros((num_classes, num_classes), jnp.int32)
+    loader = BatchLoader(dataset, batch_size, shuffle=False, drop_last=False)
+    n = 0
+    for batch in loader:
+        img = prepare_eval_batch(jnp.asarray(batch["img"]), mean, std)
+        gt = jnp.asarray(batch["gt"])
+        pad = batch.get("pad_count", 0)
+        if pad:
+            # wrapped tail records: neutralize their labels
+            gt = gt.at[batch_size - pad:].set(255)
+        cm = cm + eval_step(variables, img, gt, arch)
+        n += batch_size - pad
+        if max_batches and n >= max_batches * batch_size:
+            break
+    ev = SegEvaluator(num_classes, getattr(dataset, "CLASSES", None))
+    ev._cm = cm
+    return ev.evaluate()
+
+
+def cross_arch_evaluate(model, variables, val_sampler, dataset, max_arch, *,
+                        test_params: Optional[TestPipelineParams] = None,
+                        batch_size: int = 1, flip: bool = False
+                        ) -> Dict[str, Dict[str, float]]:
+    """Evaluate every anchor of ``val_sampler`` (reference
+    cross_arch_eval_hooks.py:50-92). One compiled eval graph serves all."""
+    eval_step = make_eval_step(model, model.num_classes, flip)
+    results: Dict[str, Dict[str, float]] = {}
+    for i, meta in enumerate(val_sampler.traverse()):
+        name = meta.get("name", val_sampler.anchor_name(i))
+        arch = encode_arch(max_arch, meta)
+        t0 = time.time()
+        metrics = evaluate(model, variables, dataset, arch,
+                           test_params=test_params, batch_size=batch_size,
+                           flip=flip, eval_step=eval_step)
+        logger.info("cross-arch eval [%s]: mIoU=%.4f aAcc=%.4f (%.1fs)",
+                    name, metrics["mIoU"], metrics["aAcc"],
+                    time.time() - t0)
+        results[name] = metrics
+    return results
+
+
+def population_eval_steps(model, num_classes: int):
+    """vmapped population evaluation: one compiled graph scores a stack of
+    subnet archs per batch (BASELINE.json north star: vmap over subnet
+    populations to amortize compilation)."""
+
+    @jax.jit
+    def step(variables, img, gt, arch_stack):
+        def one(arch):
+            pred = model.apply(variables, img, arch,
+                               method=model.simple_test)
+            return confusion_matrix(pred, gt, num_classes)
+        return jax.vmap(one)(arch_stack)
+
+    return step

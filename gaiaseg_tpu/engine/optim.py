@@ -1,0 +1,106 @@
+"""Optimizer + LR schedule construction from mmcv-style configs.
+
+Capability parity with the reference's optimizer surface (SURVEY.md §2.8
+schedules): SGD lr/momentum/weight_decay (pspnet config :175), poly LR decay
+``lr = base * (1 - iter/max_iter)^power`` with ``min_lr`` floor, step decay,
+``grad_clip=dict(max_norm=N)`` and the ``lr_scaler`` linear/power scaling of
+base LR by global batch size (reference apis/train.py:102-113).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import optax
+
+
+def scale_lr(base_lr: float, global_batch: int, scaler_cfg: Optional[Dict]
+             ) -> float:
+    """reference apis/train.py:102-113: linear => base_lr*global_batch;
+    power => base_lr*sqrt(global_batch). ``base_lr`` in the scaler config is
+    per-sample."""
+    if not scaler_cfg:
+        return base_lr
+    policy = scaler_cfg.get("policy", scaler_cfg.get("type", "linear"))
+    per_sample = scaler_cfg.get("base_lr", base_lr)
+    if policy == "linear":
+        return per_sample * global_batch
+    if policy in ("power", "sqrt"):
+        return per_sample * (global_batch ** 0.5)
+    raise ValueError(f"unknown lr_scaler policy {policy!r}")
+
+
+def build_lr_schedule(lr_config: Optional[Dict], base_lr: float,
+                      max_iters: int) -> optax.Schedule:
+    cfg = dict(lr_config or {})
+    policy = cfg.get("policy", "fixed").lower()
+    warmup = cfg.get("warmup")
+    warmup_iters = int(cfg.get("warmup_iters", 0))
+    warmup_ratio = float(cfg.get("warmup_ratio", 0.1))
+
+    if policy == "poly":
+        power = float(cfg.get("power", 0.9))
+        min_lr = float(cfg.get("min_lr", 0.0))
+
+        def main(step):
+            import jax.numpy as jnp
+            p = jnp.clip(1.0 - step / max(max_iters, 1), 0.0, 1.0)
+            return min_lr + (base_lr - min_lr) * (p ** power)
+    elif policy == "step":
+        steps = cfg.get("step", [])
+        gamma = float(cfg.get("gamma", 0.1))
+        boundaries = {int(s): gamma for s in steps}
+        sched = optax.piecewise_constant_schedule(base_lr, boundaries)
+
+        def main(step):
+            return sched(step)
+    elif policy in ("fixed", "constant"):
+        def main(step):
+            return base_lr
+    else:
+        raise ValueError(f"unknown lr policy {policy!r}")
+
+    if warmup:
+        def schedule(step):
+            w = step / max(warmup_iters, 1)
+            warm = base_lr * (warmup_ratio + (1 - warmup_ratio) * w)
+            m = main(step)
+            return warm * (step < warmup_iters) + m * (step >= warmup_iters)
+        return schedule
+    return main
+
+
+def build_optimizer(optimizer_cfg: Dict[str, Any],
+                    optimizer_config: Optional[Dict[str, Any]] = None,
+                    schedule: Optional[optax.Schedule] = None
+                    ) -> optax.GradientTransformation:
+    cfg = dict(optimizer_cfg)
+    opt_type = cfg.pop("type", "SGD").lower()
+    lr = cfg.pop("lr", 0.01)
+    wd = cfg.pop("weight_decay", 0.0)
+    lr_or_sched = schedule if schedule is not None else lr
+
+    chain = []
+    grad_clip = (optimizer_config or {}).get("grad_clip")
+    if grad_clip:
+        chain.append(optax.clip_by_global_norm(float(grad_clip["max_norm"])))
+
+    if opt_type == "sgd":
+        momentum = cfg.pop("momentum", 0.0)
+        if wd:
+            chain.append(optax.add_decayed_weights(wd))
+        if momentum:
+            chain.append(optax.trace(decay=momentum,
+                                     nesterov=cfg.pop("nesterov", False)))
+    elif opt_type == "adamw":
+        betas = cfg.pop("betas", (0.9, 0.999))
+        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1],
+                                         eps=cfg.pop("eps", 1e-8)))
+        if wd:
+            chain.append(optax.add_decayed_weights(wd))
+    elif opt_type == "adam":
+        chain.append(optax.scale_by_adam())
+    else:
+        raise ValueError(f"unknown optimizer {opt_type!r}")
+
+    chain.append(optax.scale_by_learning_rate(lr_or_sched))
+    return optax.chain(*chain)

@@ -1,0 +1,269 @@
+"""Supernet training driver: the TPU equivalent of reference apis/train.py.
+
+Capability parity (SURVEY.md §2.1, §3.1): dataloaders, LR scaling by global
+batch, optimizer + poly schedule, ManipulateArch per-iter subnet sampling
+(the sandwich rule), checkpoint/log hooks, per-val cross-arch eval hook,
+resume/load.
+
+TPU redesign of the hot loop: ONE jitted ``train_step`` takes the sampled
+subnet as a traced mask pytree — the reference's per-iter Python attribute
+writes (a recompile trigger under XLA, SURVEY.md §3.1 CONTROL-PLANE note)
+become a device-array swap. Data parallelism is the mesh ``data`` axis:
+batch sharded, state replicated, gradient/BN all-reduce inserted by XLA over
+ICI. Augmentation is the fused on-device pipeline, so each iteration is
+host-IO + exactly two device programs (augment, step).
+"""
+from __future__ import annotations
+
+import functools
+import json
+import logging
+import os
+import os.path as osp
+import time
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..archspace.samplers import BaseSampler, build_model_sampler
+from ..data.datasets import build_dataset
+from ..data.loader import BatchLoader
+from ..data.pipeline_cfg import (parse_test_pipeline, parse_train_pipeline,
+                                 TrainPipelineParams)
+from ..data.transforms import augment_batch
+from ..models.arch_util import encode_arch, model_max_arch
+from ..parallel.mesh import (batch_sharding, broadcast_object, make_mesh,
+                             replicate, shard_batch)
+from .checkpoint import (latest_checkpoint, load_checkpoint, save_checkpoint,
+                         update_latest)
+from .evaluate import cross_arch_evaluate
+from .optim import build_lr_schedule, build_optimizer, scale_lr
+
+logger = logging.getLogger("gaiaseg_tpu")
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(model, rng, sample_img, arch, tx) -> TrainState:
+    # init through forward_train so auxiliary-head params exist too
+    dummy_gt = jnp.zeros(sample_img.shape[:3], jnp.int32)
+    variables = model.init({"params": rng, "dropout": rng}, sample_img,
+                           dummy_gt, arch, method=model.forward_train)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=tx.init(params))
+
+
+def make_train_step(model, tx):
+    """jitted (state, img, gt, arch, rng) -> (state, logs). Donated state."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, img, gt, arch, rng):
+        def loss_fn(params):
+            (total, logs), mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                img, gt, arch, method=model.forward_train,
+                mutable=["batch_stats"], rngs={"dropout": rng})
+            return total, (logs, mut)
+
+        (loss, (logs, mut)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        logs = dict(logs)
+        logs["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+            batch_stats=mut.get("batch_stats", state.batch_stats))
+        return new_state, logs
+
+    return train_step
+
+
+def _max_iters(cfg) -> int:
+    runner = cfg.get("runner") or {}
+    if runner.get("max_iters"):
+        return int(runner["max_iters"])
+    if cfg.get("total_iters"):
+        return int(cfg["total_iters"])
+    # epoch-based schedules (reference schedule_all_42e.py): epochs * steps
+    return int(runner.get("max_epochs", 1)) * 1000
+
+
+def train_segmentor(model, cfg, *, work_dir: str,
+                    train_dataset=None, val_dataset=None,
+                    train_sampler: Optional[BaseSampler] = None,
+                    val_sampler: Optional[BaseSampler] = None,
+                    max_iters: Optional[int] = None,
+                    seed: int = 0,
+                    state: Optional[TrainState] = None,
+                    resume_from: Optional[str] = None,
+                    load_from: Optional[str] = None,
+                    progress_cb=None) -> Tuple[TrainState, Dict[str, Any]]:
+    """Run supernet training per config. Returns (final_state, history)."""
+    os.makedirs(work_dir, exist_ok=True)
+    mesh = make_mesh()
+    data_cfg = cfg.get("data", {})
+    if train_dataset is None:
+        train_dataset = build_dataset(data_cfg["train"])
+    if val_dataset is None and data_cfg.get("val"):
+        try:
+            val_dataset = build_dataset(data_cfg["val"])
+            if len(val_dataset) == 0:
+                val_dataset = None
+        except FileNotFoundError:
+            val_dataset = None
+
+    # samplers (ManipulateArchHook equivalent, reference apis/train.py:142-146)
+    if train_sampler is None and cfg.get("train_sampler"):
+        train_sampler = build_model_sampler(cfg["train_sampler"])
+    if val_sampler is None and cfg.get("val_sampler"):
+        val_sampler = build_model_sampler(cfg["val_sampler"])
+
+    pipe = parse_train_pipeline(
+        (data_cfg.get("train") or {}).get("pipeline"))
+    test_pipe = parse_test_pipeline(
+        (data_cfg.get("val") or {}).get("pipeline"))
+
+    samples_per_gpu = int(data_cfg.get("samples_per_gpu", 2))
+    n_dev = mesh.devices.size
+    global_batch = samples_per_gpu * n_dev
+    max_iters = max_iters or _max_iters(cfg)
+
+    # optimizer + schedule (LR scaling: reference apis/train.py:102-113)
+    opt_cfg = dict(cfg.get("optimizer") or {"type": "SGD", "lr": 0.01})
+    base_lr = scale_lr(opt_cfg.get("lr", 0.01), global_batch,
+                       cfg.get("lr_scaler"))
+    opt_cfg["lr"] = base_lr
+    schedule = build_lr_schedule(cfg.get("lr_config"), base_lr, max_iters)
+    tx = build_optimizer(opt_cfg, cfg.get("optimizer_config"), schedule)
+
+    # state init at crop size, MAX arch
+    max_arch = model_max_arch(cfg["model"])
+    crop_h, crop_w = pipe.crop_size
+    rng = jax.random.PRNGKey(seed)
+    init_img = jnp.zeros((samples_per_gpu, crop_h, crop_w, 3), jnp.bfloat16)
+    if state is None:
+        state = create_train_state(model, rng, init_img,
+                                   encode_arch(max_arch), tx)
+        start_step = 0
+        if resume_from or (cfg.get("auto_resume")
+                           and latest_checkpoint(work_dir)):
+            path = resume_from or latest_checkpoint(work_dir)
+            state, meta = load_checkpoint(path, state)
+            start_step = int(state.step)
+            logger.info("resumed from %s at step %d", path, start_step)
+        elif load_from:
+            tmpl = {"params": state.params, "batch_stats": state.batch_stats}
+            loaded, _ = load_checkpoint(load_from, tmpl)
+            state = state.replace(params=loaded["params"],
+                                  batch_stats=loaded["batch_stats"])
+            logger.info("loaded weights from %s", load_from)
+    start_step = int(state.step)
+    state = replicate(state, mesh)
+
+    train_step = make_train_step(model, tx)
+
+    loader = BatchLoader(train_dataset, global_batch, shuffle=True,
+                         seed=seed, drop_last=True, infinite=True,
+                         shard_id=jax.process_index(),
+                         num_shards=jax.process_count())
+    mean = jnp.asarray(pipe.mean)
+    std = jnp.asarray(pipe.std)
+    num_classes = model.num_classes
+
+    # base scale for Resize(img_scale, keep_ratio): factor that maps the
+    # dataset's native size onto img_scale (identity for cityscapes)
+    base_scale = 1.0
+    if pipe.img_scale is not None and len(train_dataset) > 0:
+        rec = train_dataset[0]
+        h, w = rec["img"].shape[:2]
+        tw, th = pipe.img_scale  # mmcv (w, h)
+        base_scale = min(max(th, tw) / max(h, w), min(th, tw) / min(h, w))
+
+    log_interval = int((cfg.get("log_config") or {}).get("interval", 50))
+    ckpt_interval = int((cfg.get("checkpoint_config") or {})
+                        .get("interval", 8000))
+    eval_interval = int((cfg.get("evaluation") or {}).get("interval", 8000))
+
+    history: Dict[str, Any] = {"loss": [], "eval": []}
+    sample_cycle = train_sampler.cycle_len if train_sampler else 1
+    data_iter = iter(loader)
+    t_last = time.time()
+    loss_acc, n_acc = 0.0, 0
+
+    for it in range(start_step, max_iters):
+        batch = next(data_iter)
+        # --- ManipulateArch: host sampler -> traced arch pytree ----------
+        if train_sampler is not None:
+            meta = broadcast_object(train_sampler.sample())
+            arch = encode_arch(max_arch, meta)
+        else:
+            arch = encode_arch(max_arch)
+
+        rng, k_aug, k_drop = jax.random.split(rng, 3)
+        imgs = jnp.asarray(batch["img"])
+        gts = jnp.asarray(batch["gt"])
+        aug = augment_batch(k_aug, imgs, gts, mean, std,
+                            crop_size=pipe.crop_size,
+                            ratio_range=(pipe.ratio_range[0] * base_scale,
+                                         pipe.ratio_range[1] * base_scale),
+                            cat_max_ratio=pipe.cat_max_ratio,
+                            num_classes=num_classes,
+                            photometric=pipe.photometric,
+                            flip_prob=pipe.flip_prob)
+        sharded = shard_batch(aug, mesh)
+        state, logs = train_step(state, sharded["img"], sharded["gt"],
+                                 arch, k_drop)
+
+        loss_acc += float(logs["decode.loss_seg"])
+        n_acc += 1
+        if (it + 1) % log_interval == 0:
+            dt = time.time() - t_last
+            ips = log_interval * global_batch / max(dt, 1e-9)
+            lr_now = float(schedule(it))
+            logger.info(
+                "iter %d/%d loss=%.4f acc=%.3f lr=%.2e %.1f img/s",
+                it + 1, max_iters, loss_acc / max(n_acc, 1),
+                float(logs["decode.acc_seg"]), lr_now, ips)
+            history["loss"].append(
+                {"iter": it + 1, "loss": loss_acc / max(n_acc, 1),
+                 "img_per_sec": ips})
+            loss_acc, n_acc = 0.0, 0
+            t_last = time.time()
+        if progress_cb:
+            progress_cb(it, logs)
+
+        if (it + 1) % ckpt_interval == 0 or (it + 1) == max_iters:
+            if jax.process_index() == 0:
+                path = osp.join(work_dir, f"iter_{it + 1}.ckpt")
+                save_checkpoint(path, state, meta={
+                    "iter": it + 1,
+                    "CLASSES": list(getattr(train_dataset, "CLASSES", [])),
+                    "PALETTE": getattr(train_dataset, "PALETTE", None),
+                    "max_arch": max_arch,
+                })
+                update_latest(work_dir, path)
+
+        if val_dataset is not None and val_sampler is not None and \
+                (it + 1) % eval_interval == 0:
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            res = cross_arch_evaluate(model, variables, val_sampler,
+                                      val_dataset, max_arch,
+                                      test_params=test_pipe)
+            history["eval"].append({"iter": it + 1, "metrics": res})
+
+    with open(osp.join(work_dir, "history.json"), "w") as f:
+        json.dump(history, f, indent=2, default=float)
+    return state, history

@@ -69,6 +69,7 @@ class DynConv2d(nn.Module):
             (kh, kw, in_ch // self.groups, self.features), self.param_dtype)
         pad_h = dh * (kh - 1) // 2
         pad_w = dw * (kw - 1) // 2
+        # same-dtype operands; the TPU MXU accumulates bf16 in f32 natively
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             window_strides=(sh, sw),
@@ -76,8 +77,7 @@ class DynConv2d(nn.Module):
             rhs_dilation=(dh, dw),
             feature_group_count=self.groups,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+        )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), self.param_dtype)
@@ -101,8 +101,7 @@ class DynLinear(nn.Module):
     def __call__(self, x: Array, out_mask: Optional[Array] = None) -> Array:
         kernel = self.param("kernel", self.kernel_init,
                             (x.shape[-1], self.features), self.param_dtype)
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
-                    preferred_element_type=jnp.float32).astype(self.dtype)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), self.param_dtype)

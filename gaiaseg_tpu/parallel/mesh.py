@@ -1,0 +1,103 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's NCCL stack (SURVEY.md §2.10):
+MMDistributedDataParallel gradient allreduce, SyncBN stats, object
+broadcast, result gathers all collapse into ONE ``jax.sharding.Mesh`` with a
+``data`` axis — XLA inserts ICI collectives under ``jit``. The ``model``
+axis is declared (size 1 by default) so tensor-parallel shardings can land
+without re-plumbing (SURVEY.md §2.10: "leave named axes open").
+
+The reference's ``find_unused_parameters=True`` DDP hack (apis/train.py:91-95,
+needed because sampled subnets leave params unused) disappears entirely:
+masking keeps the graph static, zeros flow through inactive slices, and every
+parameter always has a (possibly zero) gradient.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              model_parallel: int = 1) -> Mesh:
+    """data x model mesh over all (or given) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Place a host batch with leading batch dim sharded over ``data``."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up (replaces torch.distributed.launch + NCCL
+    rendezvous, reference scripts/train_local.sh). No-op single-process."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+
+
+def broadcast_object(obj: Any, is_source: Optional[bool] = None) -> Any:
+    """Broadcast a python object from process 0 (replaces the reference's
+    pickle-to-CUDA-tensor NCCL hack, reference apis/test.py:117-129 and
+    gaiavision ``broadcast_object``). Identity in single-process runs;
+    multi-host uses multihost_utils over DCN."""
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils
+    return multihost_utils.broadcast_one_to_all(obj,
+                                                is_source=is_source)
+
+
+def all_gather_objects(obj: Any) -> list:
+    """Gather per-process python objects to every process (replaces
+    collect_results_cpu/gpu, reference apis/test.py:112-186). Single-process:
+    [obj]."""
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+    return list(multihost_utils.process_allgather(obj))

@@ -1,0 +1,118 @@
+"""Data pipeline tests: fused resize+crop semantics, augmentation batch,
+loader sharding, mIoU."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaiaseg_tpu.data import (BatchLoader, SegEvaluator, SyntheticDataset,
+                              augment_batch, confusion_matrix,
+                              fused_resize_crop, iou_from_confusion,
+                              random_scale_crop)
+
+
+def test_fused_resize_crop_identity():
+    """scale=1, offset=0 -> plain crop."""
+    rng = np.random.RandomState(0)
+    img = rng.rand(16, 20, 3).astype(np.float32) * 255
+    label = rng.randint(0, 5, (16, 20)).astype(np.int32)
+    out_img, out_lab, valid = fused_resize_crop(
+        jnp.asarray(img), jnp.asarray(label), jnp.float32(1.0),
+        jnp.int32(2), jnp.int32(3), (8, 8))
+    np.testing.assert_allclose(np.asarray(out_img), img[2:10, 3:11],
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_lab), label[2:10, 3:11])
+    assert np.all(np.asarray(valid))
+
+
+def test_fused_resize_crop_pads_when_small():
+    """scale shrinks image below crop -> padded region: img 0, label 255."""
+    img = jnp.ones((16, 16, 3), jnp.float32) * 100
+    label = jnp.zeros((16, 16), jnp.int32)
+    out_img, out_lab, valid = fused_resize_crop(
+        img, label, jnp.float32(0.5), jnp.int32(0), jnp.int32(0), (16, 16))
+    v = np.asarray(valid)
+    assert v[:8, :8].all() and not v[8:, 8:].any()
+    assert np.all(np.asarray(out_lab)[8:, :] == 255)
+    assert np.all(np.asarray(out_img)[8:, :, :] == 0)
+
+
+def test_random_scale_crop_cat_max_ratio():
+    """A label that is 99% class 0 except one corner: cat_max_ratio should
+    prefer crops containing the minority class when one exists."""
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((32, 32, 3), jnp.float32)
+    label = jnp.zeros((32, 32), jnp.int32).at[:16, :16].set(1)
+    found_mixed = 0
+    for i in range(5):
+        _, lab, _ = random_scale_crop(
+            jax.random.PRNGKey(i), img, label, (16, 16),
+            ratio_range=(1.0, 1.0), cat_max_ratio=0.75, num_classes=2)
+        lab = np.asarray(lab)
+        counts = np.bincount(lab[lab != 255], minlength=2)
+        if counts.sum():
+            found_mixed += int(counts.max() / counts.sum() < 0.9)
+    assert found_mixed >= 3
+
+
+def test_augment_batch_shapes_dtypes():
+    rng = np.random.RandomState(1)
+    imgs = rng.randint(0, 255, (2, 32, 32, 3)).astype(np.uint8)
+    labels = rng.randint(0, 5, (2, 32, 32)).astype(np.int32)
+    out = augment_batch(jax.random.PRNGKey(0), jnp.asarray(imgs),
+                        jnp.asarray(labels),
+                        jnp.asarray([123.675, 116.28, 103.53]),
+                        jnp.asarray([58.395, 57.12, 57.375]),
+                        crop_size=(16, 16), num_classes=5)
+    assert out["img"].shape == (2, 16, 16, 3)
+    assert out["img"].dtype == jnp.bfloat16
+    assert out["gt"].shape == (2, 16, 16)
+    assert out["gt"].dtype == jnp.int32
+    lab = np.asarray(out["gt"])
+    assert np.all((lab == 255) | ((lab >= 0) & (lab < 5)))
+
+
+def test_synthetic_dataset_and_loader():
+    ds = SyntheticDataset(length=10, size=(16, 16), num_classes=4)
+    rec = ds[0]
+    assert rec["img"].shape == (16, 16, 3) and rec["gt"].shape == (16, 16)
+    rec2 = ds[0]
+    np.testing.assert_array_equal(rec["img"], rec2["img"])  # deterministic
+
+    loader = BatchLoader(ds, batch_size=4, shuffle=True, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["img"].shape == (4, 16, 16, 3)
+
+    # sharding partitions the index set
+    l0 = BatchLoader(ds, 2, shard_id=0, num_shards=2, prefetch=0,
+                     drop_last=False)
+    l1 = BatchLoader(ds, 2, shard_id=1, num_shards=2, prefetch=0,
+                     drop_last=False)
+    seen = set()
+    for b in list(l0) + list(l1):
+        seen.update(b["idx"].tolist())
+    assert seen == set(range(10))
+
+    # non-drop_last pads the tail
+    l2 = BatchLoader(ds, 4, drop_last=False, prefetch=0)
+    bs = list(l2)
+    assert len(bs) == 3 and bs[-1].get("pad_count") == 2
+
+
+def test_confusion_and_miou():
+    pred = jnp.asarray([[0, 1], [2, 2]])
+    label = jnp.asarray([[0, 1], [255, 1]])
+    cm = np.asarray(confusion_matrix(pred, label, 3))
+    assert cm[0, 0] == 1 and cm[1, 1] == 1 and cm[1, 2] == 1
+    assert cm.sum() == 3  # ignored pixel dropped
+    res = iou_from_confusion(cm)
+    assert res["aAcc"] == 2 / 3
+    np.testing.assert_allclose(res["IoU"][0], 1.0)
+    np.testing.assert_allclose(res["IoU"][1], 0.5)
+
+    ev = SegEvaluator(3, ["a", "b", "c"])
+    ev.update(pred, label)
+    ev.update(pred, label)
+    out = ev.evaluate()
+    assert abs(out["IoU.a"] - 1.0) < 1e-6
+    assert out["aAcc"] == 2 / 3

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Multi-subnet evaluation over a model space (capability parity with
+reference tools/test_supernet.py dist path: load model space JSON, apply
+sampling rules, per subnet manipulate-arch + full val sweep + mIoU, tag
+``metric.<tag>`` into the space, dump annotated metrics.json).
+
+TPU redesign: one compiled eval graph serves every subnet (traced arch
+masks), and the confusion matrix stays on device — the >=500 subnets/hr,
+zero-recompile target (BASELINE.md)."""
+import argparse
+import json
+import logging
+import os
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("checkpoint")
+    p.add_argument("--model-space", default=None,
+                   help="model space json (default cfg.model_space_path)")
+    p.add_argument("--work-dir", required=True)
+    p.add_argument("--metric-tag", default="metric")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--flip", action="store_true")
+    p.add_argument("--max-subnets", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO)
+    from gaiaseg_tpu.archspace import (ModelSpace, build_sample_rule)
+    from gaiaseg_tpu.data.datasets import build_dataset
+    from gaiaseg_tpu.data.pipeline_cfg import parse_test_pipeline
+    from gaiaseg_tpu.engine import load_checkpoint, evaluate, make_eval_step
+    from gaiaseg_tpu.engine.inference import init_segmentor
+    from gaiaseg_tpu.models.arch_util import encode_arch
+    from gaiaseg_tpu.utils import Config
+
+    cfg = Config.fromfile(args.config)
+    seg = init_segmentor(cfg, args.checkpoint)
+    space_path = args.model_space or cfg.get("model_space_path")
+    space = ModelSpace.load(space_path)
+    if cfg.get("model_sampling_rules"):
+        space = space.apply_rule(build_sample_rule(cfg["model_sampling_rules"]))
+    metas = space.pack()
+    if args.max_subnets:
+        metas = metas[: args.max_subnets]
+    logging.info("evaluating %d subnets from %s", len(metas), space_path)
+
+    dataset = build_dataset(cfg["data"]["val"])
+    test_pipe = parse_test_pipeline(cfg["data"]["val"].get("pipeline"))
+    eval_step = make_eval_step(seg.model, seg.model.num_classes, args.flip)
+
+    os.makedirs(osp.join(args.work_dir, "test_supernet"), exist_ok=True)
+    out_rows = []
+    for i, meta in enumerate(metas):
+        arch = encode_arch(seg.max_arch, meta)
+        t0 = time.time()
+        metrics = evaluate(seg.model, seg.variables, dataset, arch,
+                           test_params=test_pipe, batch_size=args.batch_size,
+                           flip=args.flip, eval_step=eval_step)
+        dt = time.time() - t0
+        meta.setdefault("metric", {})[args.metric_tag] = metrics
+        out_rows.append(meta)
+        logging.info("[%d/%d] mIoU=%.4f (%.1fs/subnet, %.0f subnets/hr)",
+                     i + 1, len(metas), metrics["mIoU"], dt, 3600.0 / dt)
+
+    out = osp.join(args.work_dir, "test_supernet", "metrics.json")
+    with open(out, "w") as f:
+        json.dump(out_rows, f, indent=1, default=float)
+    logging.info("dumped annotated model space -> %s", out)
+
+
+if __name__ == "__main__":
+    main()
