@@ -1,3 +1,7 @@
 from .dynamic_resnet import DynamicResNet, DynResLayer
+from .dynamic_convnext import DynamicConvNeXt, DynamicConvNeXtBlock
+from .elastic_transformer import ElasticMHA, ElasticTransformer
+from .beit import BEiT
 
-__all__ = ["DynamicResNet", "DynResLayer"]
+__all__ = ["DynamicResNet", "DynResLayer", "DynamicConvNeXt",
+           "DynamicConvNeXtBlock", "ElasticTransformer", "ElasticMHA", "BEiT"]

@@ -1,0 +1,134 @@
+"""ConvNeXt + ElasticTransformer supernet tests and flash-attention parity
+(interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaiaseg_tpu.models import build_backbone, encode_arch
+from gaiaseg_tpu.models.arch_util import backbone_max_arch
+
+F32 = jnp.float32
+
+CONVNEXT = dict(type="DynamicConvNeXt", dims=(8, 16, 24, 32),
+                depths=(2, 2, 3, 2), out_indices=(0, 1, 2, 3), dtype=F32)
+
+VIT = dict(type="ElasticTransformer", embed_dim=32, depth=4, num_heads=2,
+           ffn_ratio=2.0, patch_size=4, img_size=32,
+           out_indices=(1, 3), dtype=F32)
+
+
+def test_convnext_shapes_and_masking():
+    bb = build_backbone(CONVNEXT)
+    max_arch = backbone_max_arch(CONVNEXT)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3), F32)
+    full = {"body": {"width": jnp.asarray([8, 16, 24, 32]),
+                     "depth": jnp.asarray([2, 2, 3, 2])}}
+    v = bb.init(jax.random.PRNGKey(0), x, full)
+    outs = bb.apply(v, x, full)
+    assert [o.shape for o in outs] == [
+        (1, 8, 8, 8), (1, 4, 4, 16), (1, 2, 2, 24), (1, 1, 1, 32)]
+
+    sub = {"body": {"width": jnp.asarray([4, 8, 16, 16]),
+                    "depth": jnp.asarray([1, 1, 2, 1])}}
+    outs_sub = bb.apply(v, x, sub)
+    o1 = np.asarray(outs_sub[1])
+    assert np.all(o1[..., 8:] == 0) and np.any(o1[..., :8] != 0)
+
+
+def test_convnext_depth_identity():
+    """depth-masked block leaves activations unchanged."""
+    bb = build_backbone(CONVNEXT)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3), F32)
+    a2 = {"body": {"width": jnp.asarray([8, 16, 24, 32]),
+                   "depth": jnp.asarray([2, 2, 3, 2])}}
+    a1 = {"body": {"width": jnp.asarray([8, 16, 24, 32]),
+                   "depth": jnp.asarray([1, 2, 3, 2])}}
+    v = bb.init(jax.random.PRNGKey(0), x, a2)
+    o2 = bb.apply(v, x, a2)
+    o1 = bb.apply(v, x, a1)
+    assert not np.allclose(np.asarray(o2[0]), np.asarray(o1[0]))
+
+
+def test_elastic_transformer_shapes_and_masking():
+    bb = build_backbone(VIT)
+    max_arch = backbone_max_arch(VIT)
+    assert max_arch["encoder"]["ffn_channels"] == [64, 64, 64, 64]
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3), F32)
+    arch = {"embedding": {"width": jnp.asarray(32)},
+            "encoder": {"depth": jnp.asarray(4),
+                        "num_heads": jnp.asarray([2, 2, 2, 2]),
+                        "ffn_channels": jnp.asarray([64, 64, 64, 64])}}
+    v = bb.init(jax.random.PRNGKey(0), x, arch)
+    outs = bb.apply(v, x, arch)
+    assert [o.shape for o in outs] == [(2, 8, 8, 32), (2, 8, 8, 32)]
+
+    sub = {"embedding": {"width": jnp.asarray(16)},
+           "encoder": {"depth": jnp.asarray(2),
+                       "num_heads": jnp.asarray([1, 1, 1, 1]),
+                       "ffn_channels": jnp.asarray([32, 32, 32, 32])}}
+    outs_sub = bb.apply(v, x, sub)
+    o = np.asarray(outs_sub[1])
+    assert np.all(o[..., 16:] == 0) and np.any(o[..., :16] != 0)
+
+
+def test_elastic_mha_masked_heads_equal_sliced():
+    """masked-heads attention == attention computed on sliced qkv weights."""
+    from gaiaseg_tpu.models.backbones.elastic_transformer import ElasticMHA
+    m = ElasticMHA(embed_dim=16, max_heads=2, dtype=F32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 16), F32)
+    emb_mask = jnp.ones(16, F32)
+    v = m.init(jax.random.PRNGKey(1), x, jnp.asarray(2), emb_mask)
+    out1 = m.apply(v, x, jnp.asarray(1), emb_mask)
+
+    import math
+    p = v["params"]
+    HD = 64
+    q = x @ p["w_q"]["kernel"][:, :HD] + p["w_q"]["bias"][:HD]
+    k = x @ p["w_k"]["kernel"][:, :HD] + p["w_k"]["bias"][:HD]
+    vv = x @ p["w_v"]["kernel"][:, :HD] + p["w_v"]["bias"][:HD]
+    attn = jax.nn.softmax((q @ k.transpose(0, 2, 1)) / math.sqrt(HD), -1)
+    ref = (attn @ vv) @ p["proj"]["kernel"][:HD] + p["proj"]["bias"]
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_matches_dense_interpret(monkeypatch):
+    """Pallas flash kernel == dense softmax attention (interpret mode)."""
+    import importlib
+    fa = importlib.import_module("gaiaseg_tpu.ops.pallas.flash_attention")
+    b, n, h, d = 1, 256, 2, 64
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (b, n, h, d), F32) * 0.125
+    k = jax.random.normal(k2, (b, n, h, d), F32)
+    v = jax.random.normal(k3, (b, n, h, d), F32)
+
+    orig = fa.pl.pallas_call
+    monkeypatch.setattr(fa.pl, "pallas_call",
+                        lambda *a, **kw: orig(*a, interpret=True, **kw))
+    out = fa.flash_attention(q, k, v)
+    ref = fa._dense_attention(q.transpose(0, 2, 1, 3),
+                              k.transpose(0, 2, 1, 3),
+                              v.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_flash_attention_ragged_tail(monkeypatch):
+    """N not a tile multiple: tail keys masked, output matches dense."""
+    import importlib
+    fa = importlib.import_module("gaiaseg_tpu.ops.pallas.flash_attention")
+    b, n, h, d = 1, 200, 1, 64
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(ks[0], (b, n, h, d), F32) * 0.125
+    k = jax.random.normal(ks[1], (b, n, h, d), F32)
+    v = jax.random.normal(ks[2], (b, n, h, d), F32)
+    orig = fa.pl.pallas_call
+    monkeypatch.setattr(fa.pl, "pallas_call",
+                        lambda *a, **kw: orig(*a, interpret=True, **kw))
+    out = fa.flash_attention(q, k, v, block_q=128, block_k=128)
+    ref = fa._dense_attention(q.transpose(0, 2, 1, 3),
+                              k.transpose(0, 2, 1, 3),
+                              v.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -1,0 +1,87 @@
+"""DynamicDistiller: student+teacher joint step, distill losses, frozen
+teacher gradients; checkpoint-surgery shape tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaiaseg_tpu.models import build_segmentor
+from gaiaseg_tpu.models.arch_util import encode_arch, model_max_arch
+from gaiaseg_tpu.models.segmentors import frozen_param_labels
+
+F32 = jnp.float32
+
+DISTILLER = dict(
+    type="DynamicDistiller",
+    backbone=dict(type="DynamicResNet", stem_width=8,
+                  body_width=[8, 8, 16, 16], body_depth=[1, 1, 1, 1],
+                  out_indices=(0, 1, 2, 3), dtype=F32),
+    decode_head=dict(type="DynamicPSPHead", in_index=3, channels=8,
+                     pool_scales=(1, 2), dropout_ratio=0.0, num_classes=4,
+                     dtype=F32, loss_decode=dict(type="CrossEntropyLoss")),
+    teacher_backbone=dict(type="BEiT", embed_dim=32, depth=2, num_heads=2,
+                          patch_size=8, out_indices=(0, 1, 1, 1),
+                          use_rel_pos_bias=True, dtype=F32),
+    teacher_decode_head=dict(type="DynamicFCNHead", in_index=1, channels=8,
+                             num_convs=1, concat_input=False,
+                             dropout_ratio=0.0, num_classes=4, dtype=F32),
+    distill_cfg=dict(temperature=2.0, distill_weight=1.0,
+                     pairwise_weight=0.5),
+    test_cfg=dict(mode="whole"),
+)
+
+
+def test_distiller_train_step_and_frozen_teacher():
+    model = build_segmentor(DISTILLER)
+    max_arch = model_max_arch(DISTILLER)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3), F32)
+    gt = jax.random.randint(jax.random.PRNGKey(1), (2, 32, 32), 0, 4)
+    arch = encode_arch(max_arch)
+    k = jax.random.PRNGKey(2)
+    variables = model.init({"params": k, "dropout": k}, img, gt, arch,
+                           method="forward_train")
+
+    def loss_fn(params):
+        (total, logs), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            img, gt, arch, method="forward_train",
+            mutable=["batch_stats"], rngs={"dropout": k})
+        return total, logs
+
+    (total, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(total))
+    assert "distill_loss_seg" in logs and "pairwise_loss_seg" in logs
+    assert float(logs["distill_loss_seg"]) > 0
+
+    # teacher gradients are exactly zero (stop_gradient)
+    for name in ("t_backbone", "t_decode_head"):
+        gsum = sum(float(jnp.sum(jnp.abs(x)))
+                   for x in jax.tree_util.tree_leaves(grads[name]))
+        assert gsum == 0.0, name
+    # student gradients flow
+    s = sum(float(jnp.sum(jnp.abs(x)))
+            for x in jax.tree_util.tree_leaves(grads["backbone_m"]))
+    assert s > 0
+
+    labels = frozen_param_labels(variables["params"])
+    assert labels["t_backbone"]["block0"]["qkv"]["kernel"] is True
+    assert labels["backbone_m"]["stem0"]["conv"]["kernel"] is False
+
+
+def test_rel_pos_table_resample_shapes():
+    from gaiaseg_tpu.engine.ckpt_surgery import resample_rel_pos_bias_table
+    src, dst, heads = 7, 14, 3
+    table = np.random.RandomState(0).randn(
+        (2 * src - 1) ** 2 + 3, heads).astype(np.float32)
+    out = resample_rel_pos_bias_table(table, src, dst)
+    assert out.shape == ((2 * dst - 1) ** 2 + 3, heads)
+    np.testing.assert_array_equal(out[-3:], table[-3:])  # cls rows preserved
+    assert np.all(np.isfinite(out))
+
+
+def test_resize_pos_embed():
+    from gaiaseg_tpu.engine.ckpt_surgery import resize_pos_embed
+    pos = np.random.RandomState(0).randn(1, 5 * 5 + 1, 8).astype(np.float32)
+    out = resize_pos_embed(pos, (5, 5), (7, 9))
+    assert out.shape == (1, 7 * 9 + 1, 8)
+    np.testing.assert_array_equal(out[:, 0], pos[:, 0])
