@@ -50,8 +50,13 @@ class BatchLoader:
             idx = self._indices()
             bs = self.batch_size
             end = len(idx) - (len(idx) % bs)  # full batches only; tail below
+            fast = getattr(self.dataset, "read_batch", None)
             for i in range(0, end, bs):
                 chunk = idx[i:i + bs]
+                if fast is not None:
+                    # native gather path (PackedDataset)
+                    yield fast(np.asarray(chunk))
+                    continue
                 recs = [self.dataset[int(j)] for j in chunk]
                 yield {
                     "img": np.stack([r["img"] for r in recs]),

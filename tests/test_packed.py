@@ -1,0 +1,57 @@
+"""Native packed-dataset round trip: pack -> mmap read -> batch loader."""
+import numpy as np
+import pytest
+
+from gaiaseg_tpu.data import BatchLoader, SyntheticDataset
+
+
+def _native_available():
+    try:
+        from gaiaseg_tpu.native import load_packio
+        load_packio()
+        return True
+    except Exception:
+        return False
+
+
+pytestmark = pytest.mark.skipif(not _native_available(),
+                                reason="no C++ toolchain")
+
+
+def test_pack_roundtrip(tmp_path):
+    from gaiaseg_tpu.data.packed import PackedDataset, pack_dataset
+    ds = SyntheticDataset(length=7, size=(24, 16), num_classes=5)
+    path = str(tmp_path / "ds.gsegpack")
+    pack_dataset(ds, path)
+
+    pd = PackedDataset(path, classes=ds.CLASSES)
+    assert len(pd) == 7
+    assert (pd.h, pd.w) == (24, 16)
+    for i in (0, 3, 6):
+        rec = pd[i]
+        np.testing.assert_array_equal(rec["img"], ds[i]["img"])
+        np.testing.assert_array_equal(rec["gt"], ds[i]["gt"])
+
+    # native batch gather in arbitrary order, multithreaded
+    b = pd.read_batch(np.asarray([6, 0, 2]))
+    np.testing.assert_array_equal(b["img"][0], ds[6]["img"])
+    np.testing.assert_array_equal(b["gt"][2], ds[2]["gt"])
+    assert b["gt"].dtype == np.int32
+
+    # BatchLoader takes the native fast path
+    loader = BatchLoader(pd, batch_size=3, shuffle=True, prefetch=0)
+    batch = next(iter(loader))
+    assert batch["img"].shape == (3, 24, 16, 3)
+    assert batch["gt"].shape == (3, 24, 16)
+
+
+def test_pack_resize(tmp_path):
+    from gaiaseg_tpu.data.packed import PackedDataset, pack_dataset
+    ds = SyntheticDataset(length=3, size=(16, 16), num_classes=4)
+    path = str(tmp_path / "rs.gsegpack")
+    pack_dataset(ds, path, size=(8, 8))
+    pd = PackedDataset(path)
+    assert (pd.h, pd.w) == (8, 8)
+    rec = pd[0]
+    assert rec["img"].shape == (8, 8, 3)
+    assert set(np.unique(rec["gt"])) <= set(range(4)) | {255}
