@@ -45,6 +45,8 @@ def _time_steps(fn, n_warmup, n_iter):
 
 
 def main():
+    from gaiaseg_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
     from gaiaseg_tpu.archspace import build_model_sampler
     from gaiaseg_tpu.engine import create_train_state, make_train_step
     from gaiaseg_tpu.engine.optim import build_lr_schedule, build_optimizer

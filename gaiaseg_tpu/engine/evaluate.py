@@ -94,6 +94,37 @@ def cross_arch_evaluate(model, variables, val_sampler, dataset, max_arch, *,
     return results
 
 
+def evaluate_population(model, variables, dataset, archs, *,
+                        test_params: Optional[TestPipelineParams] = None,
+                        batch_size: int = 1) -> list:
+    """Score a whole population of subnets with ONE compiled graph: per val
+    batch, ``vmap`` over the stacked arch pytree accumulates a confusion
+    matrix per subnet (BASELINE.json stretch config: vmapped 256-subnet
+    population eval). Returns a list of metric dicts, one per arch."""
+    test_params = test_params or TestPipelineParams()
+    num_classes = model.num_classes
+    arch_stack = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *archs)
+    step = population_eval_steps(model, num_classes)
+    mean = jnp.asarray(test_params.mean)
+    std = jnp.asarray(test_params.std)
+    cms = jnp.zeros((len(archs), num_classes, num_classes), jnp.int32)
+    loader = BatchLoader(dataset, batch_size, shuffle=False, drop_last=False)
+    for batch in loader:
+        img = prepare_eval_batch(jnp.asarray(batch["img"]), mean, std)
+        gt = jnp.asarray(batch["gt"])
+        pad = batch.get("pad_count", 0)
+        if pad:
+            gt = gt.at[batch_size - pad:].set(255)
+        cms = cms + step(variables, img, gt, arch_stack)
+    results = []
+    for i in range(len(archs)):
+        ev = SegEvaluator(num_classes, getattr(dataset, "CLASSES", None))
+        ev._cm = cms[i]
+        results.append(ev.evaluate())
+    return results
+
+
 def population_eval_steps(model, num_classes: int):
     """vmapped population evaluation: one compiled graph scores a stack of
     subnet archs per batch (BASELINE.json north star: vmap over subnet

@@ -1,0 +1,49 @@
+"""vmapped population eval == per-subnet sequential eval."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaiaseg_tpu.data import SyntheticDataset
+from gaiaseg_tpu.engine import evaluate
+from gaiaseg_tpu.engine.evaluate import evaluate_population
+from gaiaseg_tpu.models import build_segmentor, encode_arch, model_max_arch
+
+F32 = jnp.float32
+
+MODEL = dict(
+    type="DynamicEncoderDecoder",
+    backbone=dict(type="DynamicResNet", stem_width=8,
+                  body_width=[8, 8, 16, 16], body_depth=[2, 1, 1, 1],
+                  out_indices=(0, 1, 2, 3), dtype=F32),
+    decode_head=dict(type="DynamicPSPHead", in_index=3, channels=8,
+                     pool_scales=(1, 2), dropout_ratio=0.0, num_classes=4,
+                     dtype=F32, loss_decode=dict(type="CrossEntropyLoss")),
+    test_cfg=dict(mode="whole"),
+)
+
+METAS = [
+    None,
+    {"arch.backbone.body.width": [4, 8, 8, 8],
+     "arch.backbone.body.depth": [1, 1, 1, 1]},
+    {"arch.backbone.stem.width": 8,
+     "arch.backbone.body.depth": [2, 1, 1, 1],
+     "arch.backbone.body.width": [8, 8, 8, 16]},
+]
+
+
+def test_population_matches_sequential():
+    model = build_segmentor(MODEL)
+    max_arch = model_max_arch(MODEL)
+    img = jnp.zeros((1, 32, 32, 3), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), img,
+                           encode_arch(max_arch))
+    ds = SyntheticDataset(length=4, size=(32, 32), num_classes=4, cells=2)
+
+    archs = [encode_arch(max_arch, m) for m in METAS]
+    pop = evaluate_population(model, variables, ds, archs, batch_size=2)
+    assert len(pop) == 3
+    for meta, pop_res in zip(METAS, pop):
+        seq = evaluate(model, variables, ds, encode_arch(max_arch, meta),
+                       batch_size=2)
+        assert abs(seq["mIoU"] - pop_res["mIoU"]) < 1e-9
+        assert abs(seq["aAcc"] - pop_res["aAcc"]) < 1e-9

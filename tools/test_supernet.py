@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--flip", action="store_true")
     p.add_argument("--max-subnets", type=int, default=None)
+    p.add_argument("--vmap", type=int, default=0, metavar="N",
+                   help="score N subnets per compiled step via vmap over "
+                        "the stacked arch pytree (population eval)")
     return p.parse_args()
 
 
@@ -60,6 +63,24 @@ def main():
 
     os.makedirs(osp.join(args.work_dir, "test_supernet"), exist_ok=True)
     out_rows = []
+    if args.vmap and args.vmap > 1:
+        from gaiaseg_tpu.engine.evaluate import evaluate_population
+        for lo in range(0, len(metas), args.vmap):
+            chunk = metas[lo:lo + args.vmap]
+            archs = [encode_arch(seg.max_arch, m) for m in chunk]
+            t0 = time.time()
+            results = evaluate_population(
+                seg.model, seg.variables, dataset, archs,
+                test_params=test_pipe, batch_size=args.batch_size)
+            dt = time.time() - t0
+            for m, r in zip(chunk, results):
+                m.setdefault("metric", {})[args.metric_tag] = r
+                out_rows.append(m)
+            logging.info("[%d/%d] vmap population chunk of %d: "
+                         "%.1fs (%.0f subnets/hr)", len(out_rows),
+                         len(metas), len(chunk), dt,
+                         3600.0 * len(chunk) / dt)
+        metas = []
     for i, meta in enumerate(metas):
         arch = encode_arch(seg.max_arch, meta)
         t0 = time.time()

@@ -32,6 +32,10 @@ def parse_args():
     p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--device", default=None,
                    help="force a jax platform, e.g. cpu / tpu")
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture a jax profiler trace of N train iters "
+                        "into WORK_DIR/trace (new capability vs the "
+                        "reference, SURVEY.md §5)")
     return p.parse_args()
 
 
@@ -52,6 +56,8 @@ def main():
     if args.device:
         import jax
         jax.config.update("jax_platforms", args.device)
+    from gaiaseg_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
     from gaiaseg_tpu.engine import train_segmentor
     from gaiaseg_tpu.models import build_segmentor
     from gaiaseg_tpu.parallel import initialize_distributed, is_main_process
@@ -82,10 +88,26 @@ def main():
 
     model = build_segmentor(cfg["model"],
                             test_cfg=cfg["model"].get("test_cfg"))
+
+    profiler_ctx = None
+    if args.profile:
+        import jax
+        trace_dir = osp.join(work_dir, "trace")
+        stop_at = [args.profile]
+
+        def progress_cb(it, logs):
+            if it == 0:
+                jax.profiler.start_trace(trace_dir)
+            if it + 1 == stop_at[0]:
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to %s", trace_dir)
+    else:
+        progress_cb = None
+
     state, history = train_segmentor(
         model, cfg, work_dir=work_dir, seed=args.seed,
         max_iters=args.max_iters, resume_from=args.resume_from,
-        load_from=args.load_from)
+        load_from=args.load_from, progress_cb=progress_cb)
     logger.info("training done at step %d", int(state.step))
 
 
