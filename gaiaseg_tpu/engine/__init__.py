@@ -7,6 +7,7 @@ from .train import (TrainState, create_train_state, make_train_step,
                     train_segmentor)
 from .inference import (Segmentor, inference_segmentor, init_segmentor,
                         show_result)
+from .calibrate import calibrate_bn, reset_bn_stats
 
 __all__ = [
     "TrainState", "create_train_state", "make_train_step", "train_segmentor",
@@ -14,5 +15,5 @@ __all__ = [
     "population_eval_steps", "build_optimizer", "build_lr_schedule",
     "scale_lr", "save_checkpoint", "load_checkpoint", "latest_checkpoint",
     "update_latest", "subnet_ckpt_name", "Segmentor", "init_segmentor",
-    "inference_segmentor", "show_result",
+    "inference_segmentor", "show_result", "calibrate_bn", "reset_bn_stats",
 ]

@@ -57,12 +57,12 @@ class ElasticConvBlock(nn.Module):
         out_mask = channel_mask(width, self.outplanes, self.dtype)
         residual = x
 
-        y = DynConv2d(med, 1, 1, dtype=self.dtype, name="conv1")(x, med_mask)
+        y = DynConv2d(med, 1, 1, dtype=self.dtype, name="conv1")(x)
         y = DynBatchNorm(med, dtype=self.dtype, name="bn1")(
             y, med_mask, use_running_average=not bn_train, update_gate=active)
         y = nn.relu(y)
         y = DynConv2d(med, 3, self.strides, dtype=self.dtype,
-                      name="conv2")(y, med_mask)
+                      name="conv2")(y)
         y = DynBatchNorm(med, dtype=self.dtype, name="bn2")(
             y, med_mask, use_running_average=not bn_train, update_gate=active)
         mid = nn.relu(y)
@@ -72,13 +72,12 @@ class ElasticConvBlock(nn.Module):
             # feature before conv3 (reference :566-586 fusion_block call)
             y = y + x_t_r
         y = DynConv2d(self.outplanes, 1, 1, dtype=self.dtype,
-                      name="conv3")(y, out_mask)
+                      name="conv3")(y)
         y = DynBatchNorm(self.outplanes, dtype=self.dtype, name="bn3")(
             y, out_mask, use_running_average=not bn_train, update_gate=active)
         if self.res_conv:
             residual = DynConv2d(self.outplanes, 1, self.strides,
-                                 dtype=self.dtype, name="conv_res")(
-                x, out_mask)
+                                 dtype=self.dtype, name="conv_res")(x)
             residual = DynBatchNorm(self.outplanes, dtype=self.dtype,
                                     name="bn_res")(
                 residual, out_mask, use_running_average=not bn_train,

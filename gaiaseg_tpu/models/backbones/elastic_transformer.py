@@ -37,15 +37,68 @@ Array = jnp.ndarray
 HEAD_DIM = 64  # fixed head width; heads are elastic (reference :131-142)
 
 
+def relative_index_2d(gh: int, gw: int, max_dist: int,
+                      with_cls: bool = True):
+    """Clipped row/col relative-distance index matrices [(N),(N)] with a
+    dedicated cls index (reference ElasticRelativePosition2D cls-token pad,
+    elastic_transformer.py:67-104). Table layout: 0..2*max_dist clipped
+    distances, 2*max_dist+1 = cls<->any."""
+    import numpy as np
+    rows = np.arange(gh).repeat(gw)
+    cols = np.tile(np.arange(gw), gh)
+    dr = np.clip(rows[:, None] - rows[None, :], -max_dist, max_dist) \
+        + max_dist
+    dc = np.clip(cols[:, None] - cols[None, :], -max_dist, max_dist) \
+        + max_dist
+    if with_cls:
+        cls_idx = 2 * max_dist + 1
+        n = gh * gw + 1
+        full_r = np.full((n, n), cls_idx, np.int32)
+        full_c = np.full((n, n), cls_idx, np.int32)
+        full_r[1:, 1:] = dr
+        full_c[1:, 1:] = dc
+        return full_r, full_c
+    return dr.astype(np.int32), dc.astype(np.int32)
+
+
+class ElasticRelativePosition2D(nn.Module):
+    """2D-decomposed Shaw-style relative positions: a row table + a col
+    table of per-distance key embeddings; the attention-score contribution
+    is ``q . (R_row[dr] + R_col[dc])`` (reference :67-104, applied to the
+    attention scores at :162-179)."""
+
+    max_dist: int = 14
+    head_dim: int = HEAD_DIM
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, q: Array, rel_r: Array, rel_c: Array) -> Array:
+        """q: [b, n, h, d]; rel_r/rel_c: [n, n] int32 -> scores [b,h,n,n]."""
+        n_entries = 2 * self.max_dist + 2  # + cls slot
+        table_r = self.param("rel_rows", nn.initializers.truncated_normal(
+            0.02), (n_entries, self.head_dim), jnp.float32)
+        table_c = self.param("rel_cols", nn.initializers.truncated_normal(
+            0.02), (n_entries, self.head_dim), jnp.float32)
+        # separable: project q onto every distance embedding, then gather
+        qr = jnp.einsum("bnhd,kd->bhnk", q,
+                        table_r.astype(q.dtype))     # [b,h,n,K]
+        qc = jnp.einsum("bnhd,kd->bhnk", q, table_c.astype(q.dtype))
+        s_r = jnp.take_along_axis(qr, rel_r[None, None], axis=-1)
+        s_c = jnp.take_along_axis(qc, rel_c[None, None], axis=-1)
+        return s_r + s_c
+
+
 class ElasticMHA(nn.Module):
     embed_dim: int           # MAX embed width
     max_heads: int
     use_flash: bool = False
+    with_rel_pos: bool = False
+    rel_max_dist: int = 14
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array, num_heads: Array, embed_mask: Array, *,
-                 train: bool = False) -> Array:
+                 train: bool = False, rel_index=None) -> Array:
         b, n, _ = x.shape
         inner = self.max_heads * HEAD_DIM
         head_mask = channel_mask(num_heads * HEAD_DIM, inner, self.dtype)
@@ -56,12 +109,18 @@ class ElasticMHA(nn.Module):
         k = k.reshape(b, n, self.max_heads, HEAD_DIM)
         v = v.reshape(b, n, self.max_heads, HEAD_DIM)
         scale = 1.0 / math.sqrt(HEAD_DIM)
-        if self.use_flash and n % 128 == 0:
+        use_rel = self.with_rel_pos and rel_index is not None
+        if self.use_flash and n % 128 == 0 and not use_rel:
             from ...ops.pallas.flash_attention import flash_attention
             out = flash_attention(q * scale, k, v)
         else:
-            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k)
+            if use_rel:
+                rel_r, rel_c = rel_index
+                attn = attn + ElasticRelativePosition2D(
+                    self.rel_max_dist, dtype=self.dtype,
+                    name="rel_pos")(q, rel_r, rel_c)
+            attn = jax.nn.softmax(attn.astype(jnp.float32) * scale, axis=-1)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v)
         out = out.reshape(b, n, inner) * head_mask
         return DynLinear(self.embed_dim, dtype=self.dtype, name="proj")(
@@ -75,17 +134,20 @@ class ElasticEncoderLayer(nn.Module):
     max_heads: int
     max_ffn: int
     use_flash: bool = False
+    with_rel_pos: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array, num_heads: Array, ffn_channels: Array,
                  embed_mask: Array, *, train: bool = False,
-                 active: Optional[Array] = None) -> Array:
+                 active: Optional[Array] = None, rel_index=None) -> Array:
         y = DynLayerNorm(self.embed_dim, dtype=self.dtype, name="norm1")(
             x, embed_mask)
         y = ElasticMHA(self.embed_dim, self.max_heads,
-                       use_flash=self.use_flash, dtype=self.dtype,
-                       name="attn")(y, num_heads, embed_mask, train=train)
+                       use_flash=self.use_flash,
+                       with_rel_pos=self.with_rel_pos, dtype=self.dtype,
+                       name="attn")(y, num_heads, embed_mask, train=train,
+                                    rel_index=rel_index)
         x1 = x + y
         z = DynLayerNorm(self.embed_dim, dtype=self.dtype, name="norm2")(
             x1, embed_mask)
@@ -111,6 +173,8 @@ class ElasticTransformer(nn.Module):
     out_indices: Sequence[int] = (2, 5, 8, 11)
     with_cls_token: bool = True
     use_flash: bool = False
+    with_rel_pos: bool = False
+    rel_max_dist: int = 14
     drop_rate: float = 0.0
     dtype: Any = jnp.bfloat16
 
@@ -174,15 +238,23 @@ class ElasticTransformer(nn.Module):
             x = nn.Dropout(self.drop_rate, deterministic=not train,
                            name="pos_drop")(x)
 
+        rel_index = None
+        if self.with_rel_pos:
+            rel_r, rel_c = relative_index_2d(gh, gw, self.rel_max_dist,
+                                             self.with_cls_token)
+            rel_index = (jnp.asarray(rel_r), jnp.asarray(rel_c))
+
         outs = []
         out_idx = [i if i >= 0 else self.depth + i for i in self.out_indices]
         for i in range(self.depth):
             active = jnp.asarray(i, jnp.int32) < depth
             x = ElasticEncoderLayer(
                 self.embed_dim, self.num_heads, self.max_ffn,
-                use_flash=self.use_flash, dtype=self.dtype,
+                use_flash=self.use_flash, with_rel_pos=self.with_rel_pos,
+                dtype=self.dtype,
                 name=f"layer{i}")(x, heads[i], ffns[i], embed_mask,
-                                  train=train, active=active)
+                                  train=train, active=active,
+                                  rel_index=rel_index)
             if i in out_idx:
                 tokens = x[:, 1:] if self.with_cls_token else x
                 outs.append(tokens.reshape(b, gh, gw, self.embed_dim))

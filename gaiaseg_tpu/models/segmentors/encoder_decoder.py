@@ -190,3 +190,15 @@ class DynamicEncoderDecoder(nn.Module):
     def simple_test(self, img: Array, arch: Dict[str, Any],
                     flip: bool = False) -> Array:
         return jnp.argmax(self.inference(img, arch, flip), axis=-1)
+
+    def aug_test(self, imgs, arch: Dict[str, Any],
+                 flip: bool = False) -> Array:
+        """Multi-scale (+flip) TTA: average softmax probs over a list of
+        rescaled inputs, resized to the first image's resolution
+        (reference dynamic_distiller.py:523-540 logit-averaging aug_test)."""
+        base_hw = imgs[0].shape[1:3]
+        prob = self.inference(imgs[0], arch, flip)
+        for im in imgs[1:]:
+            p = self.inference(im, arch, flip)
+            prob = prob + resize_bilinear(p, base_hw, self.align_corners)
+        return jnp.argmax(prob / len(imgs), axis=-1)

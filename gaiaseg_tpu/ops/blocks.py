@@ -48,9 +48,13 @@ class DynConvModule(nn.Module):
                  train: bool = False,
                  update_gate: Optional[Array] = None) -> Array:
         bias = self.use_bias if self.use_bias is not None else self.norm is None
+        # when a masked norm follows, the conv-level mask is redundant (the
+        # norm's folded scale/bias zeroes inactive lanes) — skip one
+        # elementwise pass per conv
+        conv_mask = out_mask if self.norm is None else None
         y = DynConv2d(self.features, self.kernel_size, self.strides,
                       self.dilation, use_bias=bias, dtype=self.dtype,
-                      name="conv")(x, out_mask)
+                      name="conv")(x, conv_mask)
         if self.norm == "bn":
             y = DynBatchNorm(self.features, dtype=self.dtype, name="bn")(
                 y, out_mask, use_running_average=not train,
@@ -87,19 +91,19 @@ class DynBottleneck(nn.Module):
         out_ch = self.planes * self.expansion
 
         y = DynConv2d(self.planes, 1, 1, use_bias=False, dtype=self.dtype,
-                      name="conv1")(x, mid_mask)
+                      name="conv1")(x)  # bn1 masks
         y = DynBatchNorm(self.planes, dtype=self.dtype, name="bn1")(
             y, mid_mask, use_running_average=not train, update_gate=gate)
         y = nn.relu(y)
 
         y = DynConv2d(self.planes, 3, self.strides, self.dilation,
-                      use_bias=False, dtype=self.dtype, name="conv2")(y, mid_mask)
+                      use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = DynBatchNorm(self.planes, dtype=self.dtype, name="bn2")(
             y, mid_mask, use_running_average=not train, update_gate=gate)
         y = nn.relu(y)
 
         y = DynConv2d(out_ch, 1, 1, use_bias=False, dtype=self.dtype,
-                      name="conv3")(y, out_mask)
+                      name="conv3")(y)
         y = DynBatchNorm(out_ch, dtype=self.dtype, name="bn3")(
             y, out_mask, use_running_average=not train, update_gate=gate)
 
@@ -114,7 +118,7 @@ class DynBottleneck(nn.Module):
                 ds_stride = self.strides
             identity = DynConv2d(out_ch, 1, ds_stride, use_bias=False,
                                  dtype=self.dtype, name="downsample_conv")(
-                identity, out_mask)
+                identity)
             identity = DynBatchNorm(out_ch, dtype=self.dtype,
                                     name="downsample_bn")(
                 identity, out_mask, use_running_average=not train,

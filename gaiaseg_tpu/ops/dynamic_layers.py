@@ -164,11 +164,19 @@ class DynBatchNorm(nn.Module):
                 ra_mean.value = jnp.where(gate, new_mean, ra_mean.value)
                 ra_var.value = jnp.where(gate, new_var, ra_var.value)
 
+        # fold normalization into per-channel scale'/bias' and apply in the
+        # compute dtype: one fused multiply-add over activations (XLA merges
+        # it into the producing conv's epilogue) instead of f32 upcasts
         inv = jax.lax.rsqrt(var + self.epsilon) * scale
-        y = (x.astype(jnp.float32) - mean) * inv + bias
+        fold_scale = inv
+        fold_bias = bias - mean * inv
         if mask is not None:
-            y = y * mask.astype(y.dtype)
-        return y.astype(self.dtype)
+            m = mask.astype(jnp.float32)
+            fold_scale = fold_scale * m
+            fold_bias = fold_bias * m
+        y = x.astype(self.dtype) * fold_scale.astype(self.dtype) \
+            + fold_bias.astype(self.dtype)
+        return y
 
 
 class DynLayerNorm(nn.Module):

@@ -132,3 +132,28 @@ def test_flash_attention_ragged_tail(monkeypatch):
                               v.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_elastic_transformer_rel_pos():
+    """2D relative positions: forward runs, differs from absolute-only, and
+    the cls slot uses its dedicated index."""
+    from gaiaseg_tpu.models.backbones.elastic_transformer import \
+        relative_index_2d
+    rel_r, rel_c = relative_index_2d(3, 4, max_dist=2, with_cls=True)
+    assert rel_r.shape == (13, 13)
+    assert rel_r[0, 5] == 2 * 2 + 1 and rel_c[3, 0] == 2 * 2 + 1
+    assert rel_r[1, 1] == 2 and rel_c[1, 2] == 1  # same pos / col-dist -1
+
+    cfg = dict(VIT)
+    cfg["with_rel_pos"] = True
+    bb = build_backbone(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3), F32)
+    arch = {"embedding": {"width": jnp.asarray(32)},
+            "encoder": {"depth": jnp.asarray(4),
+                        "num_heads": jnp.asarray([2, 2, 2, 2]),
+                        "ffn_channels": jnp.asarray([64, 64, 64, 64])}}
+    v = bb.init(jax.random.PRNGKey(1), x, arch)
+    assert "rel_pos" in v["params"]["layer0"]["attn"]
+    outs = bb.apply(v, x, arch)
+    assert outs[-1].shape == (1, 8, 8, 32)
+    assert np.all(np.isfinite(np.asarray(outs[-1])))

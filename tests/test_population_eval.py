@@ -47,3 +47,35 @@ def test_population_matches_sequential():
                        batch_size=2)
         assert abs(seq["mIoU"] - pop_res["mIoU"]) < 1e-9
         assert abs(seq["aAcc"] - pop_res["aAcc"]) < 1e-9
+
+
+def test_bn_calibration():
+    """reset + re-estimate running stats for a subnet; eval still works and
+    stats actually moved."""
+    import numpy as np
+    from gaiaseg_tpu.data import SyntheticDataset
+    from gaiaseg_tpu.engine import calibrate_bn, evaluate
+    from gaiaseg_tpu.engine.calibrate import reset_bn_stats
+
+    model = build_segmentor(MODEL)
+    max_arch = model_max_arch(MODEL)
+    img = jnp.zeros((1, 32, 32, 3), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), img,
+                           encode_arch(max_arch))
+    ds = SyntheticDataset(length=8, size=(32, 32), num_classes=4, cells=2)
+    arch = encode_arch(max_arch, METAS[1])
+
+    reset = reset_bn_stats(variables["batch_stats"])
+    flat = jax.tree_util.tree_leaves(reset)
+    assert all(float(jnp.max(jnp.abs(x))) in (0.0, 1.0) for x in flat)
+
+    calibrated = calibrate_bn(model, variables, ds, arch, num_batches=3,
+                              batch_size=2)
+    moved = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.sum(jnp.abs(x))),
+        jax.tree_util.tree_map(lambda a, b: a - b,
+                               calibrated["batch_stats"],
+                               variables["batch_stats"]), 0.0)
+    assert moved > 0
+    res = evaluate(model, calibrated, ds, arch, batch_size=2)
+    assert 0.0 <= res["mIoU"] <= 1.0

@@ -29,6 +29,10 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--flip", action="store_true")
     p.add_argument("--max-subnets", type=int, default=None)
+    p.add_argument("--bn-calibrate", type=int, default=0, metavar="N",
+                   help="re-estimate BN stats per subnet over N train "
+                        "batches before eval (reference BN minibatch-stats "
+                        "mode, test_supernet.py:190-198)")
     p.add_argument("--vmap", type=int, default=0, metavar="N",
                    help="score N subnets per compiled step via vmap over "
                         "the stacked arch pytree (population eval)")
@@ -81,10 +85,20 @@ def main():
                          len(metas), len(chunk), dt,
                          3600.0 * len(chunk) / dt)
         metas = []
+    calib_ds = None
+    if args.bn_calibrate:
+        from gaiaseg_tpu.engine.calibrate import calibrate_bn
+        from gaiaseg_tpu.data.datasets import build_dataset as _bd
+        calib_ds = _bd(cfg["data"]["train"])
     for i, meta in enumerate(metas):
         arch = encode_arch(seg.max_arch, meta)
         t0 = time.time()
-        metrics = evaluate(seg.model, seg.variables, dataset, arch,
+        variables = seg.variables
+        if calib_ds is not None:
+            variables = calibrate_bn(seg.model, variables, calib_ds, arch,
+                                     num_batches=args.bn_calibrate,
+                                     test_params=test_pipe)
+        metrics = evaluate(seg.model, variables, dataset, arch,
                            test_params=test_pipe, batch_size=args.batch_size,
                            flip=args.flip, eval_step=eval_step)
         dt = time.time() - t0
