@@ -157,3 +157,38 @@ def test_elastic_transformer_rel_pos():
     outs = bb.apply(v, x, arch)
     assert outs[-1].shape == (1, 8, 8, 32)
     assert np.all(np.isfinite(np.asarray(outs[-1])))
+
+
+def test_elastic_mixvit_segformer():
+    """SegFormer-style stretch supernet: shapes, masking, head pairing."""
+    from gaiaseg_tpu.models import build_segmentor, encode_arch, \
+        model_max_arch
+    from gaiaseg_tpu.ops.masking import tree_to_ints
+    cfg = dict(
+        type="DynamicEncoderDecoder",
+        backbone=dict(type="ElasticMixViT", widths=(8, 16, 24, 32),
+                      depths=(1, 1, 2, 1), num_heads=(1, 1, 1, 1),
+                      sr_ratios=(4, 2, 2, 1), ffn_ratio10=20,
+                      out_indices=(0, 1, 2, 3), dtype=F32),
+        decode_head=dict(type="SegFormerHead", in_index=(0, 1, 2, 3),
+                         input_transform="multiple_select", channels=16,
+                         dropout_ratio=0.0, num_classes=5, dtype=F32,
+                         loss_decode=dict(type="CrossEntropyLoss")),
+        test_cfg=dict(mode="whole"),
+    )
+    model = build_segmentor(cfg)
+    max_arch = model_max_arch(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3), F32)
+    arch = encode_arch(max_arch)
+    v = model.init(jax.random.PRNGKey(1), x, arch)
+    logit = model.apply(v, x, arch)
+    assert logit.shape == (1, 64, 64, 5)
+
+    sub = encode_arch(max_arch, {
+        "arch.backbone.body.width": [4, 8, 16, 16],
+        "arch.backbone.body.depth": [1, 1, 1, 1],
+        "arch.backbone.body.num_heads": [1, 1, 1, 1],
+        "arch.backbone.body.ffn_ratio10": [10, 10, 10, 10]})
+    feats = model.apply(v, x, sub, method="extract_feat")
+    f = np.asarray(feats[2])
+    assert np.all(f[..., 16:] == 0) and np.any(f[..., :16] != 0)
