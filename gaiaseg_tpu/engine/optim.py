@@ -69,9 +69,44 @@ def build_lr_schedule(lr_config: Optional[Dict], base_lr: float,
     return main
 
 
+def freeze_labels(params: Dict[str, Any], model_cfg: Optional[Dict] = None
+                  ) -> Optional[Dict[str, Any]]:
+    """True-labeled subtrees get zero updates (optax.masked):
+    - distiller teacher params (t_backbone/t_neck/t_decode_head)
+    - backbone ``frozen_stages`` (reference dynamic_resnet.py:304-334:
+      stem + layer1..layerN frozen when frozen_stages >= 0/N)
+    Returns None when nothing is frozen."""
+    frozen_prefixes = {"t_backbone", "t_neck", "t_decode_head"}
+    frozen_bb: set = set()
+    if model_cfg:
+        fs = int((model_cfg.get("backbone") or {}).get("frozen_stages", -1))
+        if fs >= 0:
+            frozen_bb.add("stem0")
+            frozen_bb.update({"stem1", "stem2"})
+            for i in range(1, fs + 1):
+                frozen_bb.add(f"layer{i}")
+
+    any_frozen = [False]
+
+    def walk(tree, frozen, in_backbone):
+        if not isinstance(tree, dict):
+            any_frozen[0] = any_frozen[0] or frozen
+            return frozen
+        out = {}
+        for k, v in tree.items():
+            f = frozen or k in frozen_prefixes or \
+                (in_backbone and k in frozen_bb)
+            out[k] = walk(v, f, in_backbone or k == "backbone_m")
+        return out
+
+    labels = walk(params, False, False)
+    return labels if any_frozen[0] else None
+
+
 def build_optimizer(optimizer_cfg: Dict[str, Any],
                     optimizer_config: Optional[Dict[str, Any]] = None,
-                    schedule: Optional[optax.Schedule] = None
+                    schedule: Optional[optax.Schedule] = None,
+                    freeze_mask: Optional[Dict[str, Any]] = None
                     ) -> optax.GradientTransformation:
     cfg = dict(optimizer_cfg)
     opt_type = cfg.pop("type", "SGD").lower()
@@ -103,4 +138,8 @@ def build_optimizer(optimizer_cfg: Dict[str, Any],
         raise ValueError(f"unknown optimizer {opt_type!r}")
 
     chain.append(optax.scale_by_learning_rate(lr_or_sched))
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if freeze_mask is not None:
+        tx = optax.chain(tx, optax.masked(
+            optax.set_to_zero(), freeze_mask))
+    return tx

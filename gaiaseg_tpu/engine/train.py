@@ -41,7 +41,8 @@ from ..parallel.mesh import (batch_sharding, broadcast_object, make_mesh,
 from .checkpoint import (latest_checkpoint, load_checkpoint, save_checkpoint,
                          update_latest)
 from .evaluate import cross_arch_evaluate
-from .optim import build_lr_schedule, build_optimizer, scale_lr
+from .optim import (build_lr_schedule, build_optimizer, freeze_labels,
+                    scale_lr)
 
 logger = logging.getLogger("gaiaseg_tpu")
 
@@ -146,7 +147,14 @@ def train_segmentor(model, cfg, *, work_dir: str,
                        cfg.get("lr_scaler"))
     opt_cfg["lr"] = base_lr
     schedule = build_lr_schedule(cfg.get("lr_config"), base_lr, max_iters)
-    tx = build_optimizer(opt_cfg, cfg.get("optimizer_config"), schedule)
+    model_cfg = dict(cfg.get("model") or {})
+    needs_freeze = (model_cfg.get("type") == "DynamicDistiller"
+                    or int((model_cfg.get("backbone") or {})
+                           .get("frozen_stages", -1)) >= 0)
+    freeze_mask = (lambda params: freeze_labels(params, model_cfg)) \
+        if needs_freeze else None
+    tx = build_optimizer(opt_cfg, cfg.get("optimizer_config"), schedule,
+                         freeze_mask=freeze_mask)
 
     # state init at crop size, MAX arch
     max_arch = model_max_arch(cfg["model"])

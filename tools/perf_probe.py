@@ -43,7 +43,7 @@ def main():
     rng = jax.random.PRNGKey(0)
     img = jax.random.normal(rng, (batch, 512, 512, 3), jnp.bfloat16)
     gt = jax.random.randint(rng, (batch, 512, 512), 0, 19)
-    gt_small = gt[:, ::8, ::8]
+    gt_small = gt[:, ::32, ::32]  # decode-head (PSP in_index 3) resolution
     k = jax.random.PRNGKey(1)
     variables = model.init({"params": k, "dropout": k}, img, gt, arch,
                            method="forward_train")
