@@ -80,6 +80,24 @@ def resnet_state_dict_to_params(state_dict: Dict[str, Any],
         used.update(["conv1.weight", "bn1.weight", "bn1.bias",
                      "bn1.running_mean", "bn1.running_var"])
 
+    def put_conv_stacked(tree, name, row, tensor):
+        """Write into row ``row`` of a scan-stacked conv kernel."""
+        dst = np.array(tree[name]["kernel"])
+        src = _conv_kernel(tensor)
+        sl = (row,) + tuple(slice(0, s) for s in src.shape)
+        dst[sl] = src
+        tree[name]["kernel"] = dst
+
+    def put_bn_stacked(p_tree, s_tree, name, row, prefix):
+        for tree, ours, theirs in (
+                (p_tree, "scale", ".weight"), (p_tree, "bias", ".bias"),
+                (s_tree, "mean", ".running_mean"),
+                (s_tree, "var", ".running_var")):
+            dst = np.array(tree[name][ours])
+            src = _to_np(state_dict[prefix + theirs])
+            dst[row, :src.shape[0]] = src
+            tree[name][ours] = dst
+
     pat = re.compile(r"^layer(\d)\.(\d+)\.(conv|bn|downsample)(\d)?"
                      r"(?:\.(\d))?\.(weight|bias|running_mean|running_var)$")
     for key in state_dict:
@@ -89,28 +107,40 @@ def resnet_state_dict_to_params(state_dict: Dict[str, Any],
         stage, block, kind, idx, ds_idx, field = m.groups()
         layer = bb_p.get(f"layer{stage}")
         layer_s = bb_s.get(f"layer{stage}")
-        if layer is None or f"block{block}" not in layer:
+        if layer is None:
             continue
-        blk_p = layer[f"block{block}"]
-        blk_s = layer_s[f"block{block}"]
-        if kind == "conv" and field == "weight":
-            put_conv(blk_p, f"conv{idx}", state_dict[key])
-            used.add(key)
-        elif kind == "bn" and field == "weight":
-            put_bn(blk_p, blk_s, f"bn{idx}",
-                   f"layer{stage}.{block}.bn{idx}")
-            used.update(f"layer{stage}.{block}.bn{idx}.{f}"
-                        for f in ("weight", "bias", "running_mean",
-                                  "running_var"))
-        elif kind == "downsample" and ds_idx == "0" and field == "weight":
-            put_conv(blk_p, "downsample_conv", state_dict[key])
-            used.add(key)
-        elif kind == "downsample" and ds_idx == "1" and field == "weight":
-            put_bn(blk_p, blk_s, "downsample_bn",
-                   f"layer{stage}.{block}.downsample.1")
-            used.update(f"layer{stage}.{block}.downsample.1.{f}"
-                        for f in ("weight", "bias", "running_mean",
-                                  "running_var"))
+        block_i = int(block)
+        if block_i == 0:
+            blk_p, blk_s = layer["block0"], layer_s["block0"]
+            if kind == "conv" and field == "weight":
+                put_conv(blk_p, f"conv{idx}", state_dict[key])
+                used.add(key)
+            elif kind == "bn" and field == "weight":
+                put_bn(blk_p, blk_s, f"bn{idx}",
+                       f"layer{stage}.{block}.bn{idx}")
+            elif kind == "downsample" and ds_idx == "0" and \
+                    field == "weight":
+                put_conv(blk_p, "downsample_conv", state_dict[key])
+                used.add(key)
+            elif kind == "downsample" and ds_idx == "1" and \
+                    field == "weight":
+                put_bn(blk_p, blk_s, "downsample_bn",
+                       f"layer{stage}.{block}.downsample.1")
+        else:
+            # tail blocks are scan-stacked under layer{s}/blocks/b
+            if "blocks" not in layer:
+                continue
+            blk_p = layer["blocks"]["b"]
+            blk_s = layer_s["blocks"]["b"]
+            row = block_i - 1
+            if row >= np.asarray(blk_p["conv1"]["kernel"]).shape[0]:
+                continue
+            if kind == "conv" and field == "weight":
+                put_conv_stacked(blk_p, f"conv{idx}", row, state_dict[key])
+                used.add(key)
+            elif kind == "bn" and field == "weight":
+                put_bn_stacked(blk_p, blk_s, f"bn{idx}", row,
+                               f"layer{stage}.{block}.bn{idx}")
 
     skipped = [k for k in state_dict
                if k not in used and "num_batches" not in k
