@@ -112,8 +112,12 @@ def main():
         "arch.backbone.body.width": [64, 128, 256, 512],
         "arch.backbone.body.depth": [3, 4, 6, 3]})
     img1 = jax.random.normal(rng, (1, 1024, 2048, 3), jnp.bfloat16)
-    variables = model.init(rng, jnp.zeros((1, 64, 64, 3), jnp.bfloat16),
-                           r50)
+    # init through forward_train so aux-head params exist (extraction needs
+    # the full tree)
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((1, 64, 64, 3), jnp.bfloat16),
+        jnp.zeros((1, 64, 64), jnp.int32), r50, method="forward_train")
 
     @jax.jit
     def slide(v, im, arch):
@@ -139,6 +143,24 @@ def main():
     dt_sub = _time_steps(subnet_step, 1, 8)
     subnets_per_hour = 3600.0 / dt_sub
 
+    # ---- extracted (deployed) R50 subnet: true serving cost ------------ #
+    from gaiaseg_tpu.engine.extract import extract_subnet
+    r50_meta = {"arch.backbone.stem.width": 64,
+                "arch.backbone.body.width": [64, 128, 256, 512],
+                "arch.backbone.body.depth": [3, 4, 6, 3]}
+    sub_cfg, sub_vars, _ = extract_subnet(ge._FLAGSHIP, variables, r50_meta)
+    sub_model = build_segmentor(sub_cfg)
+    sub_arch = encode_arch(model_max_arch(sub_cfg))
+
+    @jax.jit
+    def slide_sub(v, im):
+        return sub_model.apply(v, im, sub_arch, (512, 1024), (341, 683),
+                               method=sub_model.slide_inference)
+
+    log("timing extracted-R50 slide inference...")
+    dt_ext = _time_steps(lambda i: slide_sub(sub_vars, img1), 1, 4)
+    ext_slide_ips = 1.0 / dt_ext / n_chips
+
     result = {
         "metric": "supernet_train_512x512_images_per_sec_per_chip",
         "value": round(float(train_ips), 3),
@@ -147,6 +169,8 @@ def main():
         "extras": {
             "train_batch": batch,
             "slide_1024x2048_img_per_sec_per_chip": round(float(slide_ips), 4),
+            "extracted_r50_slide_img_per_sec_per_chip":
+                round(float(ext_slide_ips), 4),
             "subnets_per_hour_1img_eval": round(float(subnets_per_hour), 1),
             "n_chips": n_chips,
             "device": str(jax.devices()[0].device_kind),

@@ -177,6 +177,18 @@ def train_segmentor(model, cfg, *, work_dir: str,
             state = state.replace(params=loaded["params"],
                                   batch_stats=loaded["batch_stats"])
             logger.info("loaded weights from %s", load_from)
+        pretrained = (model_cfg.get("backbone") or {}).get("pretrained") \
+            or model_cfg.get("pretrained")
+        if pretrained and str(pretrained).endswith((".pth", ".pt")) \
+            and not (resume_from or load_from):
+            # torch pretrained backbone (reference dynamic_resnet.py:343-345
+            # strict=False load) via the torch->jax converter
+            from .torch_convert import load_torch_resnet
+            p, s = load_torch_resnet(str(pretrained), state.params,
+                                     state.batch_stats)
+            state = state.replace(params=p, batch_stats=s)
+            logger.info("loaded torch pretrained backbone from %s",
+                        pretrained)
     start_step = int(state.step)
     state = replicate(state, mesh)
 

@@ -148,3 +148,15 @@ def test_slide_overlapping_windows(model_and_vars):
     assert np.all(np.isfinite(np.asarray(out)))
     pred = model.apply(variables, img, arch, method=model.simple_test)
     assert pred.shape == (1, 48, 48)
+
+
+def test_aug_test_multiscale(model_and_vars):
+    model, variables = model_and_vars
+    arch = encode_arch(model_max_arch(TINY_MODEL))
+    img1 = jax.random.normal(jax.random.PRNGKey(7), (1, 32, 32, 3), F32)
+    img2 = jax.image.resize(img1, (1, 48, 48, 3), "bilinear")
+    pred = model.apply(variables, [img1, img2], arch, True,
+                       method=model.aug_test)
+    assert pred.shape == (1, 32, 32)
+    single = model.apply(variables, img1, arch, method=model.simple_test)
+    assert pred.dtype == single.dtype
