@@ -85,7 +85,10 @@ class DynResLayer(nn.Module):
                 variable_axes={"params": 0, "batch_stats": 0},
                 split_rngs={"params": True},
                 in_axes=(0, nn.broadcast, nn.broadcast),
-                length=self.max_depth - 1)
+                length=self.max_depth - 1,
+                # unroll=4: recover cross-block fusion (scan-1 cost ~11% step
+                # time) while keeping compile ~linear in depth/4
+                unroll=min(4, self.max_depth - 1))
             x, _ = scan(self.planes, self.expansion, self.dilation,
                         train=train, dtype=self.dtype, name="blocks")(
                 x, actives, width, out_mask)

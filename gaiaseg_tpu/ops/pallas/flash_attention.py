@@ -29,7 +29,8 @@ DEFAULT_BLOCK_K = 128
 NEG_INF = -1e30
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref,
+               m_scr, l_scr, acc_scr, *,
                kv_tiles: int, block_k: int, n_real: int):
     kv_idx = pl.program_id(3)
 
@@ -69,11 +70,15 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     def _store():
         l_final = jnp.maximum(l_scr[:, :1], 1e-30)
         o_ref[0, 0] = (acc_scr[:] / l_final).astype(o_ref.dtype)
+        # residuals for the Pallas backward kernels
+        m_ref[0, 0] = m_scr[:, 0]
+        l_ref[0, 0] = l_scr[:, 0]
 
 
 def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-               block_q: int, block_k: int) -> jnp.ndarray:
-    """q,k,v: [B, H, N, D] (q pre-scaled). Returns [B, H, N, D]."""
+               block_q: int, block_k: int, save_residuals: bool = False):
+    """q,k,v: [B, H, N, D] (q pre-scaled). Returns out [B, H, N, D]
+    (+ padded residuals (q,k,v,out,m,l) when ``save_residuals``)."""
     b, h, n, d = q.shape
     n_pad = -(-n // max(block_q, block_k)) * max(block_q, block_k)
     if n_pad != n:
@@ -85,10 +90,14 @@ def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kv_tiles = n_pad // block_k
 
     grid = (b, h, q_tiles, kv_tiles)
-    out = pl.pallas_call(
+    out, m, l = pl.pallas_call(
         functools.partial(_fa_kernel, kv_tiles=kv_tiles, block_k=block_k,
                           n_real=n),
-        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n_pad), jnp.float32),
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -100,8 +109,14 @@ def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 pl.BlockSpec((1, 1, block_k, d),
                              lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, d),
-                                   lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            out_specs=(
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+                pl.BlockSpec((1, 1, block_q),
+                             lambda bi, hi, qi, ki: (bi, hi, qi)),
+                pl.BlockSpec((1, 1, block_q),
+                             lambda bi, hi, qi, ki: (bi, hi, qi)),
+            ),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 128), jnp.float32),  # running max
                 pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
@@ -112,6 +127,8 @@ def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
     )(q, k, v)
+    if save_residuals:
+        return out[:, :, :n, :], (q, k, v, out, m, l)
     return out[:, :, :n, :]
 
 
@@ -128,13 +145,20 @@ def _flash(q, k, v, block_q, block_k):
 
 
 def _flash_vjp_fwd(q, k, v, block_q, block_k):
-    return _flash_fwd(q, k, v, block_q, block_k), (q, k, v)
+    n = q.shape[2]
+    out, res = _flash_fwd(q, k, v, block_q, block_k, save_residuals=True)
+    return out, (res, n)
 
 
-def _flash_vjp_bwd(block_q, block_k, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(_dense_attention, q, k, v)
-    return vjp(g)
+def _flash_vjp_bwd(block_q, block_k, residuals, g):
+    from .flash_attention_bwd import flash_attention_bwd
+    (qp, kp, vp, op, m, l), n = residuals
+    n_pad = qp.shape[2]
+    if n_pad != n:
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, n_pad - n), (0, 0)))
+    dq, dk, dv = flash_attention_bwd(qp, kp, vp, op, m, l, g,
+                                     block_q, block_k, n)
+    return dq[:, :, :n], dk[:, :, :n], dv[:, :, :n]
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)

@@ -192,3 +192,35 @@ def test_elastic_mixvit_segformer():
     feats = model.apply(v, x, sub, method="extract_feat")
     f = np.asarray(feats[2])
     assert np.all(f[..., 16:] == 0) and np.any(f[..., :16] != 0)
+
+
+def test_flash_attention_backward_matches_dense(monkeypatch):
+    """Pallas dQ/dKV kernels == dense-attention gradients (interpret)."""
+    import importlib
+    fa = importlib.import_module("gaiaseg_tpu.ops.pallas.flash_attention")
+    fab = importlib.import_module(
+        "gaiaseg_tpu.ops.pallas.flash_attention_bwd")
+    b, n, h, d = 1, 200, 2, 64   # ragged tail exercises padding in bwd too
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (b, n, h, d), F32) * 0.125
+    k = jax.random.normal(ks[1], (b, n, h, d), F32)
+    v = jax.random.normal(ks[2], (b, n, h, d), F32)
+    orig = fa.pl.pallas_call
+    monkeypatch.setattr(fa.pl, "pallas_call",
+                        lambda *a, **kw: orig(*a, interpret=True, **kw))
+    monkeypatch.setattr(fab.pl, "pallas_call",
+                        lambda *a, **kw: orig(*a, interpret=True, **kw))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v) ** 2)
+
+    def loss_dense(q, k, v):
+        qt, kt, vt = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+        return jnp.sum(
+            fa._dense_attention(qt, kt, vt).transpose(0, 2, 1, 3) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for gf, gd, name in zip(g_flash, g_dense, "qkv"):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
