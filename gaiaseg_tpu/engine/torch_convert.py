@@ -126,10 +126,18 @@ def resnet_state_dict_to_params(state_dict: Dict[str, Any],
                     field == "weight":
                 put_bn(blk_p, blk_s, "downsample_bn",
                        f"layer{stage}.{block}.downsample.1")
-        else:
-            # tail blocks are scan-stacked under layer{s}/blocks/b
-            if "blocks" not in layer:
-                continue
+        elif f"block{block}" in layer:
+            # unrolled tail blocks: per-block subtrees
+            blk_p = layer[f"block{block}"]
+            blk_s = layer_s[f"block{block}"]
+            if kind == "conv" and field == "weight":
+                put_conv(blk_p, f"conv{idx}", state_dict[key])
+                used.add(key)
+            elif kind == "bn" and field == "weight":
+                put_bn(blk_p, blk_s, f"bn{idx}",
+                       f"layer{stage}.{block}.bn{idx}")
+        elif "blocks" in layer:
+            # scan-stacked tail blocks under layer{s}/blocks/b
             blk_p = layer["blocks"]["b"]
             blk_s = layer_s["blocks"]["b"]
             row = block_i - 1

@@ -64,6 +64,7 @@ class DynResLayer(nn.Module):
     avg_down: bool = False
     contract_dilation: bool = False
     expansion: int = 4
+    scan_blocks: bool = False   # True: stacked-param nn.scan tail blocks
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -78,20 +79,28 @@ class DynResLayer(nn.Module):
                           first_dilation, has_downsample=True,
                           avg_down=self.avg_down, dtype=self.dtype,
                           name="block0")(x, width, out_mask, train=train)
-        if self.max_depth > 1:
+        if self.max_depth <= 1:
+            return x
+        if self.scan_blocks:
+            # stacked params + one compiled block program: ~3x faster XLA
+            # compile, measured ~12% slower per step on v5e than unrolled
             actives = jnp.arange(1, self.max_depth, dtype=jnp.int32) < depth
             scan = nn.scan(
                 _ScannedBottleneck,
                 variable_axes={"params": 0, "batch_stats": 0},
                 split_rngs={"params": True},
                 in_axes=(0, nn.broadcast, nn.broadcast),
-                length=self.max_depth - 1,
-                # unroll=4: recover cross-block fusion (scan-1 cost ~11% step
-                # time) while keeping compile ~linear in depth/4
-                unroll=min(4, self.max_depth - 1))
+                length=self.max_depth - 1)
             x, _ = scan(self.planes, self.expansion, self.dilation,
                         train=train, dtype=self.dtype, name="blocks")(
                 x, actives, width, out_mask)
+            return x
+        for i in range(1, self.max_depth):
+            active = jnp.asarray(i, jnp.int32) < depth
+            x = DynBottleneck(self.planes, self.expansion, 1, self.dilation,
+                              has_downsample=False, dtype=self.dtype,
+                              name=f"block{i}")(
+                x, width, out_mask, train=train, active=active)
         return x
 
 
@@ -108,6 +117,8 @@ class DynamicResNet(nn.Module):
     contract_dilation: bool = False
     norm_eval: bool = False
     frozen_stages: int = -1                   # applied via optimizer masking
+    scan_blocks: bool = False                 # nn.scan tail blocks (see
+                                              # DynResLayer docstring)
     dtype: Any = jnp.bfloat16
 
     search_space = ("stem", "body")
@@ -164,6 +175,7 @@ class DynamicResNet(nn.Module):
                             self.strides[i], self.dilations[i],
                             avg_down=self.avg_down,
                             contract_dilation=self.contract_dilation,
+                            scan_blocks=self.scan_blocks,
                             dtype=self.dtype, name=f"layer{i + 1}")(
                 x, widths[i], depths[i], train=bn_train)
             if i in self.out_indices:

@@ -224,3 +224,26 @@ def test_flash_attention_backward_matches_dense(monkeypatch):
     for gf, gd, name in zip(g_flash, g_dense, "qkv"):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gd),
                                    rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_resnet_scan_blocks_variant():
+    """scan_blocks=True: stacked-param layout forward works and depth
+    masking behaves identically to the unrolled layout."""
+    cfg = dict(type="DynamicResNet", stem_width=8,
+               body_width=(8, 8, 16, 16), body_depth=(3, 2, 2, 2),
+               out_indices=(0, 1, 2, 3), scan_blocks=True, dtype=F32)
+    bb = build_backbone(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3), F32)
+    arch = {"stem": {"width": jnp.asarray(8)},
+            "body": {"width": jnp.asarray([8, 8, 16, 16]),
+                     "depth": jnp.asarray([3, 2, 2, 2])}}
+    v = bb.init(jax.random.PRNGKey(1), x, arch)
+    # stacked layout: layer1/blocks/b/conv1/kernel has leading depth axis
+    assert v["params"]["layer1"]["blocks"]["b"]["conv1"]["kernel"].shape[0] \
+        == 2
+    outs = bb.apply(v, x, arch)
+    assert outs[0].shape == (1, 8, 8, 32)
+    shallow = {**arch, "body": {"width": arch["body"]["width"],
+                                "depth": jnp.asarray([1, 2, 2, 2])}}
+    outs2 = bb.apply(v, x, shallow)
+    assert not np.allclose(np.asarray(outs[0]), np.asarray(outs2[0]))
