@@ -40,9 +40,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
     k = k_ref[0, 0]                       # [block_k, d]
     v = v_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)  # [block_q, d]
-    m = m_ref[0, 0]                       # [1, block_q]
-    l = l_ref[0, 0]
-    di = di_ref[0, 0]
+    m = m_ref[0, 0][:, :1]                 # [block_q, 1]
+    l = l_ref[0, 0][:, :1]
+    di = di_ref[0, 0][:, :1]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -50,7 +50,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
         jnp.int32, s.shape, dimension=1)
     s = jnp.where(col < n_real, s, NEG_INF)
     l_safe = jnp.maximum(l, 1e-30)
-    p = jnp.exp(s - m.reshape(block_q, 1)) / l_safe.reshape(block_q, 1)
+    p = jnp.exp(s - m) / l_safe
 
     dv_scr[:] += jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())),
@@ -58,7 +58,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
     dp = jax.lax.dot_general(do, v.astype(jnp.float32),
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - di.reshape(block_q, 1))
+    ds = p * (dp - di)
     dk_scr[:] += jax.lax.dot_general(
         ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)        # [block_k, d]
@@ -82,9 +82,9 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0].astype(jnp.float32)
-    m = m_ref[0, 0]
-    l = l_ref[0, 0]
-    di = di_ref[0, 0]
+    m = m_ref[0, 0][:, :1]
+    l = l_ref[0, 0][:, :1]
+    di = di_ref[0, 0][:, :1]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -92,11 +92,11 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, di_ref,
         jnp.int32, s.shape, dimension=1)
     s = jnp.where(col < n_real, s, NEG_INF)
     l_safe = jnp.maximum(l, 1e-30)
-    p = jnp.exp(s - m.reshape(block_q, 1)) / l_safe.reshape(block_q, 1)
+    p = jnp.exp(s - m) / l_safe
     dp = jax.lax.dot_general(do, v.astype(jnp.float32),
                              (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - di.reshape(block_q, 1))
+    ds = p * (dp - di)
     dq_scr[:] += jax.lax.dot_general(
         ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -113,9 +113,10 @@ def flash_attention_bwd(q, k, v, o, m, l, do, block_q: int, block_k: int,
     q_tiles = n_pad // block_q
     kv_tiles = n_pad // block_k
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    di = jnp.broadcast_to(di[..., None], di.shape + (128,))
 
-    row_spec_q = pl.BlockSpec((1, 1, block_q),
-                              lambda bi, hi, ki, qi: (bi, hi, qi))
+    row_spec_q = pl.BlockSpec((1, 1, block_q, 128),
+                              lambda bi, hi, ki, qi: (bi, hi, qi, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, q_tiles=q_tiles, block_q=block_q,
                           n_real=n_real),
@@ -153,8 +154,8 @@ def flash_attention_bwd(q, k, v, o, m, l, do, block_q: int, block_k: int,
                                  "arbitrary")),
     )(q, k, v, do, m, l, di)
 
-    row_spec_q2 = pl.BlockSpec((1, 1, block_q),
-                               lambda bi, hi, qi, ki: (bi, hi, qi))
+    row_spec_q2 = pl.BlockSpec((1, 1, block_q, 128),
+                               lambda bi, hi, qi, ki: (bi, hi, qi, 0))
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, kv_tiles=kv_tiles, block_q=block_q,
                           block_k=block_k, n_real=n_real),
