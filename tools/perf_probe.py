@@ -83,5 +83,49 @@ def main():
               flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and (len(sys.argv) <= 2
+                                or sys.argv[2] != "opt"):
     main()
+
+
+def probe_optimizer(batch=8):
+    """Isolate the optimizer/update cost of the full train step."""
+    from gaiaseg_tpu.engine import create_train_state, make_train_step
+    from gaiaseg_tpu.engine.optim import build_lr_schedule, build_optimizer
+    from gaiaseg_tpu.models import (build_segmentor, encode_arch,
+                                    model_max_arch)
+    import __graft_entry__ as ge
+
+    model = build_segmentor(ge._FLAGSHIP)
+    arch = encode_arch(model_max_arch(ge._FLAGSHIP))
+    rng = jax.random.PRNGKey(0)
+    img = jax.random.normal(rng, (batch, 512, 512, 3), jnp.bfloat16)
+    gt = jax.random.randint(rng, (batch, 512, 512), 0, 19)
+    schedule = build_lr_schedule(dict(policy="poly", power=0.9), 0.01, 1000)
+
+    variants = {
+        "sgd+mom+wd+clip": build_optimizer(
+            dict(type="SGD", lr=0.01, momentum=0.9, weight_decay=5e-4),
+            dict(grad_clip=dict(max_norm=20)), schedule),
+        "sgd+mom (no clip/wd)": build_optimizer(
+            dict(type="SGD", lr=0.01, momentum=0.9), None, schedule),
+        "plain sgd": build_optimizer(dict(type="SGD", lr=0.01), None,
+                                     schedule),
+    }
+    for name, tx in variants.items():
+        state = create_train_state(model, rng, img, arch, tx)
+        step = make_train_step(model, tx)
+        holder = [state]
+
+        def f():
+            holder[0], logs = step(holder[0], img, gt, arch, rng)
+            return logs["decode.loss_seg"]
+
+        dt = timeit(f)
+        print(f"full step [{name}]: {dt * 1e3:.1f} ms -> "
+              f"{batch / dt:.1f} img/s", flush=True)
+        del holder, state
+
+
+if __name__ == "__main__" and len(sys.argv) > 2 and sys.argv[2] == "opt":
+    probe_optimizer(int(sys.argv[1]))
