@@ -71,9 +71,11 @@ def make_train_step(model, tx):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, img, gt, arch, rng):
         def loss_fn(params):
+            # compute_acc=False: accuracy-as-output costs ~2.2x step time
+            # (see forward_train docstring); acc comes from the eval hook
             (total, logs), mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                img, gt, arch, method=model.forward_train,
+                img, gt, arch, False, method=model.forward_train,
                 mutable=["batch_stats"], rngs={"dropout": rng})
             return total, (logs, mut)
 
@@ -109,7 +111,7 @@ def make_multi_train_step(model, tx, k: int):
             def loss_fn(params):
                 (total, logs), mut = model.apply(
                     {"params": params, "batch_stats": st.batch_stats},
-                    img, gt, arch, method=model.forward_train,
+                    img, gt, arch, False, method=model.forward_train,
                     mutable=["batch_stats"], rngs={"dropout": rng})
                 return total, (logs, mut)
 
@@ -318,9 +320,8 @@ def train_segmentor(model, cfg, *, work_dir: str,
             ips = log_interval * global_batch / max(dt, 1e-9)
             lr_now = float(schedule(it))
             logger.info(
-                "iter %d/%d loss=%.4f acc=%.3f lr=%.2e %.1f img/s",
-                it, max_iters, loss_acc / max(n_acc, 1),
-                float(logs["decode.acc_seg"]), lr_now, ips)
+                "iter %d/%d loss=%.4f lr=%.2e %.1f img/s",
+                it, max_iters, loss_acc / max(n_acc, 1), lr_now, ips)
             history["loss"].append(
                 {"iter": it, "loss": loss_acc / max(n_acc, 1),
                  "img_per_sec": ips})

@@ -69,7 +69,8 @@ class DynamicDistiller(DynamicEncoderDecoder):
                 self.t_decode_head(feats, train=False))
         return feats, logits
 
-    def forward_train(self, img: Array, gt: Array, arch: Dict[str, Any]
+    def forward_train(self, img: Array, gt: Array, arch: Dict[str, Any],
+                      compute_acc: bool = True
                       ) -> Tuple[Array, Dict[str, Array]]:
         temperature, w_distill, w_pair = self._distill_params()
         feats = self.extract_feat(img, arch, train=True)
@@ -79,7 +80,8 @@ class DynamicDistiller(DynamicEncoderDecoder):
         dec = self.decode_head_m(feats, train=True)
         dec_r = resize_bilinear(dec, label_hw, self.align_corners)
         losses["decode.loss_seg"] = self.loss_decode(dec_r, gt)
-        losses["decode.acc_seg"] = pixel_accuracy(dec_r, gt)
+        if compute_acc:
+            losses["decode.acc_seg"] = pixel_accuracy(dec_r, gt)
         for i, (head, loss_fn) in enumerate(zip(self.aux_heads,
                                                 self.aux_losses)):
             a = resize_bilinear(head(feats, train=True), label_hw,
