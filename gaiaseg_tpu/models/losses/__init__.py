@@ -4,7 +4,7 @@ from .cross_entropy import (CrossEntropyLoss, binary_cross_entropy,
 from .dice_focal import (DiceLoss, FocalLoss, MixedLoss, multiclass_dice,
                          pixel_accuracy, sigmoid_focal, softmax_focal)
 from .eql import (EQLCrossEntropyLoss, decode_packed_labels, equalize_loss,
-                  mask_cross_entropy)
+                  mask_cross_entropy, self_cross_entropy)
 
 __all__ = [
     "CrossEntropyLoss", "softmax_cross_entropy", "binary_cross_entropy",
@@ -12,5 +12,5 @@ __all__ = [
     "DiceLoss", "FocalLoss", "MixedLoss", "multiclass_dice",
     "pixel_accuracy", "sigmoid_focal", "softmax_focal",
     "EQLCrossEntropyLoss", "equalize_loss", "decode_packed_labels",
-    "mask_cross_entropy",
+    "mask_cross_entropy", "self_cross_entropy",
 ]

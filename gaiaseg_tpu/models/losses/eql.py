@@ -87,3 +87,25 @@ class EQLCrossEntropyLoss:
         return self.loss_weight * equalize_loss(
             logits, label, rng, self.tail_classes, self.sample_ratio,
             ignore_index)
+
+
+def self_cross_entropy(logits: Array, label: Array,
+                       num_classes: Optional[int] = None,
+                       ignore_index: int = 255) -> Array:
+    """Self-supervised-style BCE with partially detached targets over the
+    3-bit packed multi-label encoding (reference
+    cross_entropy_loss.py:11-65): positives (code 1) train against 1,
+    "self" pixels (code 2) train against the detached sigmoid of the
+    model's own logit."""
+    num_classes = num_classes or logits.shape[-1]
+    label = label.astype(jnp.int32)
+    codes = jnp.stack([(label >> (3 * k)) & 7 for k in range(num_classes)],
+                      -1)
+    x = logits.astype(jnp.float32)
+    p_detached = jax.lax.stop_gradient(jax.nn.sigmoid(x))
+    target = jnp.where(codes == 1, 1.0,
+                       jnp.where(codes == 2, p_detached, 0.0))
+    bce = jnp.maximum(x, 0) - x * target + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    valid = jnp.any(codes > 0, axis=-1) & (label != ignore_index)
+    w = valid.astype(jnp.float32)
+    return jnp.sum(jnp.sum(bce, -1) * w) / jnp.maximum(jnp.sum(w), 1.0)

@@ -86,3 +86,16 @@ def test_accuracy_topk():
     a1 = float(pixel_accuracy(logits, label))
     a5 = float(pixel_accuracy(logits, label, topk=5))
     assert 0 <= a1 <= a5 <= 1.0 + 1e-6
+
+
+def test_self_cross_entropy():
+    from gaiaseg_tpu.models.losses import self_cross_entropy
+    logits = jax.random.normal(KEY, (1, 4, 4, 3))
+    # pixel 0: class0 positive; pixel 1: class1 "self"; rest empty
+    label = jnp.zeros((1, 4, 4), jnp.int32)
+    label = label.at[0, 0, 0].set(1)           # class0 code 1
+    label = label.at[0, 0, 1].set(2 << 3)      # class1 code 2
+    v = float(self_cross_entropy(logits, label, num_classes=3))
+    assert np.isfinite(v) and v > 0
+    g = jax.grad(lambda l: self_cross_entropy(l, label, 3))(logits)
+    assert np.all(np.isfinite(np.asarray(g)))
