@@ -69,7 +69,10 @@ def main():
     tx = build_optimizer(dict(type="SGD", lr=0.01, momentum=0.9,
                               weight_decay=5e-4),
                          dict(grad_clip=dict(max_norm=20)), schedule)
-    train_step = make_train_step(model, tx)
+    # production mix: BN running stats refreshed every 10th step
+    # (engine/train.py bn_update_interval; stats-as-output costs 2x)
+    train_step = make_train_step(model, tx, update_stats=True)
+    train_step_fast = make_train_step(model, tx, update_stats=False)
 
     # ---- train throughput at 512x512 ---------------------------------- #
     import sys
@@ -89,12 +92,13 @@ def main():
             state = create_train_state(model, rng, img, archs[0], tx)
 
             def step(i, _state=[state]):
-                _state[0], logs = train_step(_state[0], img, gt,
-                                             archs[i % len(archs)], rng)
+                fn = train_step if i % 10 == 0 else train_step_fast
+                _state[0], logs = fn(_state[0], img, gt,
+                                     archs[i % len(archs)], rng)
                 return logs["decode.loss_seg"]
 
             log("timing train steps...")
-            dt = _time_steps(step, 1, 4)
+            dt = _time_steps(step, 2, 10)
             train_ips = batch / dt / n_chips
             log(f"train: {dt * 1e3:.1f} ms/step -> {train_ips:.2f} img/s")
             break

@@ -65,18 +65,28 @@ def create_train_state(model, rng, sample_img, arch, tx) -> TrainState:
                       batch_stats=batch_stats, opt_state=tx.init(params))
 
 
-def make_train_step(model, tx):
-    """jitted (state, img, gt, arch, rng) -> (state, logs). Donated state."""
+def make_train_step(model, tx, update_stats: bool = True):
+    """jitted (state, img, gt, arch, rng) -> (state, logs). Donated state.
+
+    ``update_stats=False`` skips the BN running-statistics update: threading
+    the ~300 stat arrays out of the jitted step pins every pre-norm
+    activation and measured 2x the step time on v5e (132 vs 66 ms at
+    512x512 batch 8). BN still normalizes with batch statistics either way
+    (running stats are eval-only bookkeeping); the train loop refreshes them
+    every ``bn_update_interval`` steps, and subnet eval recalibrates anyway
+    (engine/calibrate.py).
+    """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, img, gt, arch, rng):
         def loss_fn(params):
-            # compute_acc=False: accuracy-as-output costs ~2.2x step time
-            # (see forward_train docstring); acc comes from the eval hook
+            # compute_acc=False: accuracy-as-output also costs ~2.2x step
+            # time (see forward_train docstring); acc comes from eval hooks
             (total, logs), mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 img, gt, arch, False, method=model.forward_train,
-                mutable=["batch_stats"], rngs={"dropout": rng})
+                mutable=["batch_stats"] if update_stats else [],
+                rngs={"dropout": rng})
             return total, (logs, mut)
 
         (loss, (logs, mut)), grads = jax.value_and_grad(
@@ -85,9 +95,11 @@ def make_train_step(model, tx):
         params = optax.apply_updates(state.params, updates)
         logs = dict(logs)
         logs["grad_norm"] = optax.global_norm(grads)
+        new_stats = mut.get("batch_stats", state.batch_stats) \
+            if update_stats else state.batch_stats
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state,
-            batch_stats=mut.get("batch_stats", state.batch_stats))
+            batch_stats=new_stats)
         return new_state, logs
 
     return train_step
@@ -237,7 +249,10 @@ def train_segmentor(model, cfg, *, work_dir: str,
         k_disp = max(int(cfg["steps_per_dispatch"]), k_disp)
     if k_disp > 1:
         multi_step = make_multi_train_step(model, tx, k_disp)
-    train_step = make_train_step(model, tx)
+    bn_update_interval = int(cfg.get("bn_update_interval", 10))
+    train_step = make_train_step(model, tx, update_stats=True)
+    train_step_fast = make_train_step(model, tx, update_stats=False) \
+        if bn_update_interval > 1 else train_step
 
     loader = BatchLoader(train_dataset, global_batch, shuffle=True,
                          seed=seed, drop_last=True, infinite=True,
@@ -309,8 +324,10 @@ def train_segmentor(model, cfg, *, work_dir: str,
             sharded = next_aug_batch()
             arch = next_arch()
             rng, k_drop = jax.random.split(rng)
-            state, logs = train_step(state, sharded["img"], sharded["gt"],
-                                     arch, k_drop)
+            step_fn = train_step if it % bn_update_interval == 0 \
+                else train_step_fast
+            state, logs = step_fn(state, sharded["img"], sharded["gt"],
+                                  arch, k_drop)
             loss_acc += float(logs["decode.loss_seg"])
             n_acc += 1
             step_inc = 1
