@@ -69,10 +69,12 @@ def main():
     tx = build_optimizer(dict(type="SGD", lr=0.01, momentum=0.9,
                               weight_decay=5e-4),
                          dict(grad_clip=dict(max_norm=20)), schedule)
-    # production mix: BN running stats refreshed every 10th step
-    # (engine/train.py bn_update_interval; stats-as-output costs 2x)
-    train_step = make_train_step(model, tx, update_stats=True)
-    train_step_fast = make_train_step(model, tx, update_stats=False)
+    # production mix (engine/train.py): silent fast step (no loss/stat
+    # outputs — each costs ~2x) with one full logging step per 10 here
+    train_step = make_train_step(model, tx, update_stats=True,
+                                 with_logs=True)
+    train_step_fast = make_train_step(model, tx, update_stats=False,
+                                      with_logs=False)
 
     # ---- train throughput at 512x512 ---------------------------------- #
     import sys
@@ -95,7 +97,7 @@ def main():
                 fn = train_step if i % 10 == 0 else train_step_fast
                 _state[0], logs = fn(_state[0], img, gt,
                                      archs[i % len(archs)], rng)
-                return logs["decode.loss_seg"]
+                return _state[0].step
 
             log("timing train steps...")
             dt = _time_steps(step, 2, 10)

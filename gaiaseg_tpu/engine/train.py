@@ -65,23 +65,25 @@ def create_train_state(model, rng, sample_img, arch, tx) -> TrainState:
                       batch_stats=batch_stats, opt_state=tx.init(params))
 
 
-def make_train_step(model, tx, update_stats: bool = True):
+def make_train_step(model, tx, update_stats: bool = True,
+                    with_logs: bool = True):
     """jitted (state, img, gt, arch, rng) -> (state, logs). Donated state.
 
-    ``update_stats=False`` skips the BN running-statistics update: threading
-    the ~300 stat arrays out of the jitted step pins every pre-norm
-    activation and measured 2x the step time on v5e (132 vs 66 ms at
-    512x512 batch 8). BN still normalizes with batch statistics either way
-    (running stats are eval-only bookkeeping); the train loop refreshes them
-    every ``bn_update_interval`` steps, and subnet eval recalibrates anyway
-    (engine/calibrate.py).
+    The HOT path uses ``update_stats=False, with_logs=False``: measured on
+    v5e (batch 8, 512x512 max supernet), a grad+update-only step is 66 ms,
+    while returning EITHER the loss value OR the BN running-stat updates
+    from the jitted program is ~133 ms — each forces XLA to materialize the
+    forward CE / pre-norm chains that the gradient alone never needs. The
+    train loop therefore runs the silent fast step and interleaves one full
+    step (loss logs + BN stat refresh) every ``log_interval`` iterations;
+    BN running stats are eval-only bookkeeping and subnet eval recalibrates
+    per arch anyway (engine/calibrate.py).
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, img, gt, arch, rng):
         def loss_fn(params):
-            # compute_acc=False: accuracy-as-output also costs ~2.2x step
-            # time (see forward_train docstring); acc comes from eval hooks
+            # compute_acc=False: accuracy-as-output also costs ~2.2x
             (total, logs), mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 img, gt, arch, False, method=model.forward_train,
@@ -89,12 +91,17 @@ def make_train_step(model, tx, update_stats: bool = True):
                 rngs={"dropout": rng})
             return total, (logs, mut)
 
-        (loss, (logs, mut)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if with_logs:
+            (loss, (logs, mut)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            logs = dict(logs)
+            logs["grad_norm"] = optax.global_norm(grads)
+        else:
+            grads = jax.grad(lambda p: loss_fn(p)[0])(state.params)
+            logs = {}
+            mut = {}
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        logs = dict(logs)
-        logs["grad_norm"] = optax.global_norm(grads)
         new_stats = mut.get("batch_stats", state.batch_stats) \
             if update_stats else state.batch_stats
         new_state = state.replace(
@@ -249,10 +256,12 @@ def train_segmentor(model, cfg, *, work_dir: str,
         k_disp = max(int(cfg["steps_per_dispatch"]), k_disp)
     if k_disp > 1:
         multi_step = make_multi_train_step(model, tx, k_disp)
-    bn_update_interval = int(cfg.get("bn_update_interval", 10))
-    train_step = make_train_step(model, tx, update_stats=True)
-    train_step_fast = make_train_step(model, tx, update_stats=False) \
-        if bn_update_interval > 1 else train_step
+    log_interval = int((cfg.get("log_config") or {}).get("interval", 50))
+    train_step = make_train_step(model, tx, update_stats=True,
+                                 with_logs=True)
+    train_step_fast = make_train_step(model, tx, update_stats=False,
+                                      with_logs=False) \
+        if log_interval > 1 else train_step
 
     loader = BatchLoader(train_dataset, global_batch, shuffle=True,
                          seed=seed, drop_last=True, infinite=True,
@@ -271,7 +280,6 @@ def train_segmentor(model, cfg, *, work_dir: str,
         tw, th = pipe.img_scale  # mmcv (w, h)
         base_scale = min(max(th, tw) / max(h, w), min(th, tw) / min(h, w))
 
-    log_interval = int((cfg.get("log_config") or {}).get("interval", 50))
     ckpt_interval = int((cfg.get("checkpoint_config") or {})
                         .get("interval", 8000))
     eval_interval = int((cfg.get("evaluation") or {}).get("interval", 8000))
@@ -324,12 +332,15 @@ def train_segmentor(model, cfg, *, work_dir: str,
             sharded = next_aug_batch()
             arch = next_arch()
             rng, k_drop = jax.random.split(rng)
-            step_fn = train_step if it % bn_update_interval == 0 \
+            # full step (loss logs + BN stat refresh) on logging
+            # iterations; silent fast step otherwise (see make_train_step)
+            step_fn = train_step if (it + 1) % log_interval == 0 \
                 else train_step_fast
             state, logs = step_fn(state, sharded["img"], sharded["gt"],
                                   arch, k_drop)
-            loss_acc += float(logs["decode.loss_seg"])
-            n_acc += 1
+            if logs:
+                loss_acc += float(logs["decode.loss_seg"])
+                n_acc += 1
             step_inc = 1
         it += step_inc
         if it % log_interval < step_inc:
