@@ -13,7 +13,7 @@ elements (affine), act/pool = elements.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 
 class Acc:

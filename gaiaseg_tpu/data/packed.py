@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import ctypes
 import logging
-import os.path as osp
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np

@@ -13,7 +13,6 @@ Pure numpy/scipy — runs once at checkpoint load, never on device.
 """
 from __future__ import annotations
 
-import math
 from typing import Dict, Tuple
 
 import numpy as np

@@ -12,14 +12,12 @@ recompiles, which is what makes the >=500 subnets/hr target reachable.
 """
 from __future__ import annotations
 
-import functools
 import logging
 import time
-from typing import Any, Dict, Iterator, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..data.loader import BatchLoader
 from ..data.metrics import SegEvaluator, confusion_matrix

@@ -9,7 +9,7 @@ show_result_pyplot without requiring a display).
 from __future__ import annotations
 
 import logging
-from typing import Any, Dict, Optional, Tuple, Union
+from typing import Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,6 @@ from ..models.arch_util import encode_arch, model_max_arch
 from ..models.builder import build_segmentor
 from ..utils.config import Config
 from .checkpoint import load_checkpoint
-from .train import create_train_state  # noqa: F401  (re-export convenience)
 
 logger = logging.getLogger("gaiaseg_tpu")
 

@@ -21,23 +21,21 @@ import logging
 import os
 import os.path as osp
 import time
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from flax import struct
 
 from ..archspace.samplers import BaseSampler, build_model_sampler
 from ..data.datasets import build_dataset
 from ..data.loader import BatchLoader
-from ..data.pipeline_cfg import (parse_test_pipeline, parse_train_pipeline,
-                                 TrainPipelineParams)
+from ..data.pipeline_cfg import parse_test_pipeline, parse_train_pipeline
 from ..data.transforms import augment_batch
 from ..models.arch_util import encode_arch, model_max_arch
-from ..parallel.mesh import (batch_sharding, broadcast_object, make_mesh,
-                             replicate, shard_batch)
+from ..parallel.mesh import (broadcast_object, make_mesh, replicate,
+                             shard_batch)
 from .checkpoint import (latest_checkpoint, load_checkpoint, save_checkpoint,
                          update_latest)
 from .evaluate import cross_arch_evaluate

@@ -16,7 +16,7 @@ compiled graph serves all ~28k subnets of the ar50to101v2 space.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

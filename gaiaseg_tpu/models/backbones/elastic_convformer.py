@@ -19,9 +19,8 @@ Elastic dims (nested meta exactly as the reference's init_state :769-782):
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -30,7 +29,7 @@ from ...ops.dynamic_layers import DynBatchNorm, DynConv2d, DynLayerNorm, \
 from ...ops.masking import channel_mask
 from ...ops.resize import resize_bilinear
 from ...utils.registry import BACKBONES
-from .elastic_transformer import HEAD_DIM, ElasticMHA
+from .elastic_transformer import ElasticMHA
 
 Array = jnp.ndarray
 

@@ -11,7 +11,7 @@ Logits are NHWC ``[N,H,W,C]`` float; labels ``[N,H,W]`` int32 with
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,7 @@ accuracy.py — SURVEY.md §2.7).
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ multi-label decode (``label & 7`` then ``>> 3`` per category), and mask CE.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

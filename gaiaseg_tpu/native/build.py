@@ -3,7 +3,6 @@ from __future__ import annotations
 
 import ctypes
 import logging
-import os
 import os.path as osp
 import subprocess
 import threading

@@ -18,7 +18,7 @@ DynSyncBN, NCCL allreduce) therefore needs no explicit collective here.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

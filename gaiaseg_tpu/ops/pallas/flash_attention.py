@@ -17,7 +17,6 @@ flash_attention_bwd.py using saved per-row softmax residuals.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

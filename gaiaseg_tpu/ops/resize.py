@@ -15,7 +15,7 @@ dynamic_psp_head.py:60-66) and pools with ``AdaptiveAvgPool2d``
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ parameter always has a (possibly zero) gradient.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Sequence
 
 import jax

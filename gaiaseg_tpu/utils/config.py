@@ -15,7 +15,7 @@ import json
 import os
 import os.path as osp
 import types
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 DELETE_KEY = "_delete_"
 BASE_KEY = "_base_"

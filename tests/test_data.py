@@ -116,3 +116,25 @@ def test_confusion_and_miou():
     out = ev.evaluate()
     assert abs(out["IoU.a"] - 1.0) < 1e-6
     assert out["aAcc"] == 2 / 3
+
+
+def test_fused_resize_crop_matches_resize_then_crop():
+    """For a fixed scale/offset, the fused window resample equals
+    full-image bilinear resize followed by a plain crop."""
+    rng = np.random.RandomState(3)
+    img = rng.rand(16, 20, 3).astype(np.float32) * 255
+    label = rng.randint(0, 5, (16, 20)).astype(np.int32)
+    scale = 2.0
+    oy, ox = 5, 7
+    ch, cw = 12, 16
+    out_img, out_lab, valid = fused_resize_crop(
+        jnp.asarray(img), jnp.asarray(label), jnp.float32(scale),
+        jnp.int32(oy), jnp.int32(ox), (ch, cw))
+    full = jax.image.resize(jnp.asarray(img), (32, 40, 3), "bilinear",
+                            antialias=False)
+    np.testing.assert_allclose(np.asarray(out_img),
+                               np.asarray(full[oy:oy + ch, ox:ox + cw]),
+                               rtol=1e-4, atol=1e-3)
+    assert np.all(np.asarray(valid))
+    # label: nearest sampling stays within the original label set
+    assert set(np.unique(np.asarray(out_lab))) <= set(range(5))
