@@ -110,7 +110,8 @@ class ElasticMHA(nn.Module):
         v = v.reshape(b, n, self.max_heads, HEAD_DIM)
         scale = 1.0 / math.sqrt(HEAD_DIM)
         use_rel = self.with_rel_pos and rel_index is not None
-        if self.use_flash and n % 128 == 0 and not use_rel:
+        on_tpu = jax.devices()[0].platform == "tpu"
+        if self.use_flash and on_tpu and n % 128 == 0 and not use_rel:
             from ...ops.pallas.flash_attention import flash_attention
             out = flash_attention(q * scale, k, v)
         else:
