@@ -33,7 +33,8 @@ from ..data.datasets import build_dataset
 from ..data.loader import BatchLoader
 from ..data.pipeline_cfg import parse_test_pipeline, parse_train_pipeline
 from ..data.transforms import augment_batch
-from ..models.arch_util import encode_arch, model_max_arch
+from ..models.arch_util import (encode_arch, make_depth_bucketer,
+                                model_max_arch)
 from ..parallel.mesh import (broadcast_object, make_mesh, replicate,
                              shard_batch)
 from .checkpoint import (latest_checkpoint, load_checkpoint, save_checkpoint,
@@ -78,13 +79,17 @@ def make_train_step(model, tx, update_stats: bool = True,
     per arch anyway (engine/calibrate.py).
     """
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, img, gt, arch, rng):
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("bounds",))
+    def train_step(state: TrainState, img, gt, arch, rng, bounds=None):
+        # ``bounds``: STATIC ArchBounds — jit specializes one depth-
+        # proportional program per bucket (anchors get exact bounds; the
+        # bucketer caps the number of variants, see make_depth_bucketer)
         def loss_fn(params):
             # compute_acc=False: accuracy-as-output also costs ~2.2x
             (total, logs), mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                img, gt, arch, False, method=model.forward_train,
+                img, gt, arch, False, bounds, method=model.forward_train,
                 mutable=["batch_stats"] if update_stats else [],
                 rngs={"dropout": rng})
             return total, (logs, mut)
@@ -283,7 +288,17 @@ def train_segmentor(model, cfg, *, work_dir: str,
     eval_interval = int((cfg.get("evaluation") or {}).get("interval", 8000))
 
     history: Dict[str, Any] = {"loss": [], "eval": []}
-    sample_cycle = train_sampler.cycle_len if train_sampler else 1
+    # depth-proportional fast path: bucket sampled archs into a bounded set
+    # of STATIC depth bounds (exact for sandwich anchors). Off when
+    # scan_blocks (stacked-param layout pins the trip count) or when the
+    # config disables it.
+    bucketer = None
+    if cfg.get("use_arch_bounds", True) and train_sampler is not None \
+            and not (model_cfg.get("backbone") or {}).get("scan_blocks"):
+        try:
+            bucketer = make_depth_bucketer(train_sampler, max_arch)
+        except Exception:
+            bucketer = None
     data_iter = iter(loader)
     t_last = time.time()
     loss_acc, n_acc = 0.0, 0
@@ -306,15 +321,17 @@ def train_segmentor(model, cfg, *, work_dir: str,
     def next_arch():
         if train_sampler is not None:
             meta = broadcast_object(train_sampler.sample())
-            return encode_arch(max_arch, meta)
-        return encode_arch(max_arch)
+            bounds = bucketer(meta) if bucketer is not None else None
+            return encode_arch(max_arch, meta), bounds
+        return encode_arch(max_arch), None
 
     it = start_step
     while it < max_iters:
         if k_disp > 1 and it + k_disp <= max_iters:
             # K steps per dispatch: fixed RPC/buffer overhead amortized
             batches = [next_aug_batch() for _ in range(k_disp)]
-            archs = [next_arch() for _ in range(k_disp)]
+            archs = [next_arch()[0] for _ in range(k_disp)]  # bounds unused:
+            # the K-step scan shares one program across the stacked archs
             rng, k_drop = jax.random.split(rng)
             state, logs_k = multi_step(
                 state,
@@ -328,14 +345,14 @@ def train_segmentor(model, cfg, *, work_dir: str,
             step_inc = k_disp
         else:
             sharded = next_aug_batch()
-            arch = next_arch()
+            arch, bounds = next_arch()
             rng, k_drop = jax.random.split(rng)
             # full step (loss logs + BN stat refresh) on logging
             # iterations; silent fast step otherwise (see make_train_step)
             step_fn = train_step if (it + 1) % log_interval == 0 \
                 else train_step_fast
             state, logs = step_fn(state, sharded["img"], sharded["gt"],
-                                  arch, k_drop)
+                                  arch, k_drop, bounds=bounds)
             if logs:
                 loss_acc += float(logs["decode.loss_seg"])
                 n_acc += 1

@@ -65,6 +65,11 @@ class DynResLayer(nn.Module):
     contract_dilation: bool = False
     expansion: int = 4
     scan_blocks: bool = False   # True: stacked-param nn.scan tail blocks
+    depth_bound: int = 0        # STATIC execution bound; 0 = max_depth.
+                                # Blocks >= bound never execute (depth-
+                                # proportional cost, like the reference's
+                                # dynamic_res_layer.py:166-172); blocks in
+                                # [depth, bound) stay masked identities.
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -79,11 +84,17 @@ class DynResLayer(nn.Module):
                           first_dilation, has_downsample=True,
                           avg_down=self.avg_down, dtype=self.dtype,
                           name="block0")(x, width, out_mask, train=train)
-        if self.max_depth <= 1:
+        bound = self.max_depth
+        if self.depth_bound and not self.is_initializing():
+            # never bound at init: all MAX-shape params must be created
+            bound = min(self.depth_bound, self.max_depth)
+        if bound <= 1:
             return x
         if self.scan_blocks:
             # stacked params + one compiled block program: ~3x faster XLA
-            # compile, measured ~12% slower per step on v5e than unrolled
+            # compile, measured ~12% slower per step on v5e than unrolled.
+            # depth bounds are ignored here (lifted-scan length is tied to
+            # the stacked param axis); use the unrolled path for bounds.
             actives = jnp.arange(1, self.max_depth, dtype=jnp.int32) < depth
             scan = nn.scan(
                 _ScannedBottleneck,
@@ -95,7 +106,7 @@ class DynResLayer(nn.Module):
                         train=train, dtype=self.dtype, name="blocks")(
                 x, actives, width, out_mask)
             return x
-        for i in range(1, self.max_depth):
+        for i in range(1, bound):
             active = jnp.asarray(i, jnp.int32) < depth
             x = DynBottleneck(self.planes, self.expansion, 1, self.dilation,
                               has_downsample=False, dtype=self.dtype,
@@ -146,8 +157,13 @@ class DynamicResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, arch: Dict[str, Any], *,
-                 train: bool = False):
+                 train: bool = False, bounds=None):
+        """``bounds``: optional STATIC ``ArchBounds`` — per-stage depth
+        execution bounds (see arch_util.ArchBounds). Must cover the traced
+        ``arch`` depths; callers obtain it from ``exact_bounds`` /
+        ``make_depth_bucketer`` so that is true by construction."""
         bn_train = train and not self.norm_eval
+        depth_bounds = getattr(bounds, "body_depth", None) or (0, 0, 0, 0)
         stem_w = jnp.atleast_1d(jnp.asarray(arch["stem"]["width"], jnp.int32))
         widths = jnp.asarray(arch["body"]["width"], jnp.int32)
         depths = jnp.asarray(arch["body"]["depth"], jnp.int32)
@@ -176,6 +192,7 @@ class DynamicResNet(nn.Module):
                             avg_down=self.avg_down,
                             contract_dilation=self.contract_dilation,
                             scan_blocks=self.scan_blocks,
+                            depth_bound=int(depth_bounds[i]),
                             dtype=self.dtype, name=f"layer{i + 1}")(
                 x, widths[i], depths[i], train=bn_train)
             if i in self.out_indices:

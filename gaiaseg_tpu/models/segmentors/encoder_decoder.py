@@ -74,26 +74,33 @@ class DynamicEncoderDecoder(nn.Module):
 
     # ------------------------------------------------------------------ #
     def extract_feat(self, img: Array, arch: Dict[str, Any], *,
-                     train: bool = False):
-        feats = self.backbone_m(img, arch["backbone"], train=train)
+                     train: bool = False, bounds=None):
+        # ``bounds``: STATIC ArchBounds for depth-proportional execution
+        # (arch_util.ArchBounds); only passed through when set so backbones
+        # without bound support keep their signatures.
+        if bounds is not None:
+            feats = self.backbone_m(img, arch["backbone"], train=train,
+                                    bounds=bounds)
+        else:
+            feats = self.backbone_m(img, arch["backbone"], train=train)
         if self.neck_m is not None:
             feats = self.neck_m(feats, train=train)
         return feats
 
     def encode_decode(self, img: Array, arch: Dict[str, Any], *,
-                      train: bool = False) -> Array:
+                      train: bool = False, bounds=None) -> Array:
         """Decode-head logits resized to input resolution [N,H,W,C]."""
-        feats = self.extract_feat(img, arch, train=train)
+        feats = self.extract_feat(img, arch, train=train, bounds=bounds)
         logit = self.decode_head_m(feats, train=train)
         return resize_bilinear(logit, img.shape[1:3], self.align_corners)
 
     def __call__(self, img: Array, arch: Dict[str, Any], *,
-                 train: bool = False) -> Array:
-        return self.encode_decode(img, arch, train=train)
+                 train: bool = False, bounds=None) -> Array:
+        return self.encode_decode(img, arch, train=train, bounds=bounds)
 
     # ------------------------------------------------------------------ #
     def forward_train(self, img: Array, gt: Array, arch: Dict[str, Any],
-                      compute_acc: bool = True
+                      compute_acc: bool = True, bounds=None
                       ) -> Tuple[Array, Dict[str, Array]]:
         """Returns (total_loss, log dict). ``gt`` is [N,H,W] int with 255
         ignore (loss resizes logits to label size,
@@ -104,7 +111,7 @@ class DynamicEncoderDecoder(nn.Module):
         logits and costs ~2.2x step time on v5e (121.6 vs 56.4 ms measured
         at 512x512 batch 8) — the train loop logs accuracy via the periodic
         eval hook instead."""
-        feats = self.extract_feat(img, arch, train=True)
+        feats = self.extract_feat(img, arch, train=True, bounds=bounds)
         label_hw = gt.shape[1:3]
         losses: Dict[str, Array] = {}
 
@@ -126,12 +133,13 @@ class DynamicEncoderDecoder(nn.Module):
         return total, losses
 
     # ------------------------------------------------------------------ #
-    def whole_inference(self, img: Array, arch: Dict[str, Any]) -> Array:
-        return self.encode_decode(img, arch, train=False)
+    def whole_inference(self, img: Array, arch: Dict[str, Any],
+                        bounds=None) -> Array:
+        return self.encode_decode(img, arch, train=False, bounds=bounds)
 
     def slide_inference(self, img: Array, arch: Dict[str, Any],
                         crop_size: Tuple[int, int],
-                        stride: Tuple[int, int]) -> Array:
+                        stride: Tuple[int, int], bounds=None) -> Array:
         """Batched-window slide inference; exact mmseg window grid
         (reference dynamic_distiller.py:416-459) as one XLA program."""
         n, h, w, _ = img.shape
@@ -151,7 +159,7 @@ class DynamicEncoderDecoder(nn.Module):
             [jax.lax.dynamic_slice(img, (0, y0, x0, 0),
                                    (n, h_crop, w_crop, img.shape[-1]))
              for (y0, x0) in origins], axis=0)          # [n*nw, hc, wc, 3]
-        logits = self.encode_decode(crops, arch, train=False)
+        logits = self.encode_decode(crops, arch, train=False, bounds=bounds)
         num_classes = logits.shape[-1]
         logits = logits.reshape(len(origins), n, h_crop, w_crop, num_classes)
 
@@ -173,41 +181,43 @@ class DynamicEncoderDecoder(nn.Module):
         return preds / count
 
     def inference(self, img: Array, arch: Dict[str, Any],
-                  flip: bool = False) -> Array:
+                  flip: bool = False, bounds=None) -> Array:
         """Softmax probs with optional horizontal flip TTA
         (reference dynamic_distiller.py:475-508)."""
         cfg = dict(self.test_cfg or {"mode": "whole"})
         if cfg.get("mode") == "slide":
             logit = self.slide_inference(img, arch,
                                          tuple(cfg["crop_size"]),
-                                         tuple(cfg["stride"]))
+                                         tuple(cfg["stride"]), bounds=bounds)
         else:
-            logit = self.whole_inference(img, arch)
+            logit = self.whole_inference(img, arch, bounds=bounds)
         prob = jax.nn.softmax(logit.astype(jnp.float32), axis=-1)
         if flip:
             flipped = img[:, :, ::-1, :]
             if cfg.get("mode") == "slide":
                 logit_f = self.slide_inference(flipped, arch,
                                                tuple(cfg["crop_size"]),
-                                               tuple(cfg["stride"]))
+                                               tuple(cfg["stride"]),
+                                               bounds=bounds)
             else:
-                logit_f = self.whole_inference(flipped, arch)
+                logit_f = self.whole_inference(flipped, arch, bounds=bounds)
             prob = (prob + jax.nn.softmax(
                 logit_f.astype(jnp.float32), -1)[:, :, ::-1, :]) / 2
         return prob
 
     def simple_test(self, img: Array, arch: Dict[str, Any],
-                    flip: bool = False) -> Array:
-        return jnp.argmax(self.inference(img, arch, flip), axis=-1)
+                    flip: bool = False, bounds=None) -> Array:
+        return jnp.argmax(self.inference(img, arch, flip, bounds=bounds),
+                          axis=-1)
 
     def aug_test(self, imgs, arch: Dict[str, Any],
-                 flip: bool = False) -> Array:
+                 flip: bool = False, bounds=None) -> Array:
         """Multi-scale (+flip) TTA: average softmax probs over a list of
         rescaled inputs, resized to the first image's resolution
         (reference dynamic_distiller.py:523-540 logit-averaging aug_test)."""
         base_hw = imgs[0].shape[1:3]
-        prob = self.inference(imgs[0], arch, flip)
+        prob = self.inference(imgs[0], arch, flip, bounds=bounds)
         for im in imgs[1:]:
-            p = self.inference(im, arch, flip)
+            p = self.inference(im, arch, flip, bounds=bounds)
             prob = prob + resize_bilinear(p, base_hw, self.align_corners)
         return jnp.argmax(prob / len(imgs), axis=-1)

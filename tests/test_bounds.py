@@ -1,0 +1,149 @@
+"""ArchBounds (depth-proportional execution) correctness.
+
+The bounded fast path must be numerically IDENTICAL to the round-1 masked
+path: blocks at index >= bound never execute; blocks in [depth, bound) stay
+masked identities (matching the reference semantics where blocks beyond
+``depth_state`` do not run, reference dynamic_res_layer.py:166-172).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaiaseg_tpu.archspace import build_model_sampler
+from gaiaseg_tpu.models import (ArchBounds, build_segmentor, covering_bounds,
+                                encode_arch, exact_bounds,
+                                make_depth_bucketer, model_max_arch)
+
+F32 = jnp.float32
+
+MODEL = dict(
+    type="DynamicEncoderDecoder",
+    backbone=dict(type="DynamicResNet", stem_width=8,
+                  body_width=[8, 16, 24, 32], body_depth=[2, 3, 5, 2],
+                  out_indices=(0, 1, 2, 3), dtype=F32),
+    decode_head=dict(type="DynamicPSPHead", in_index=3, channels=16,
+                     pool_scales=(1, 2), dropout_ratio=0.0, num_classes=7,
+                     dtype=F32, loss_decode=dict(type="CrossEntropyLoss")),
+    auxiliary_head=dict(type="DynamicFCNHead", in_index=2, channels=8,
+                        num_convs=1, concat_input=False, dropout_ratio=0.0,
+                        num_classes=7, dtype=F32,
+                        loss_decode=dict(type="CrossEntropyLoss",
+                                         loss_weight=0.4)),
+    test_cfg=dict(mode="whole"))
+
+SUB = {"arch.backbone.stem.width": 8,
+       "arch.backbone.body.width": [8, 8, 16, 24],
+       "arch.backbone.body.depth": [1, 2, 3, 1]}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = build_segmentor(MODEL)
+    max_arch = model_max_arch(MODEL)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3), F32)
+    gt = jax.random.randint(jax.random.PRNGKey(2), (2, 32, 32), 0, 7)
+    arch = encode_arch(max_arch, SUB)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(3)},
+        img, gt, arch, method=model.forward_train)
+    return model, max_arch, variables, img, gt, arch
+
+
+def test_bounded_forward_matches_masked(setup):
+    model, max_arch, variables, img, _, arch = setup
+    ref = model.apply(variables, img, arch)
+    for bounds in (exact_bounds(max_arch, SUB),          # exact fit
+                   ArchBounds(body_depth=(2, 2, 4, 2)),  # loose bucket
+                   ArchBounds(body_depth=(2, 3, 5, 2))): # == MAX
+        out = model.apply(variables, img, arch, bounds=bounds)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_bounded_train_step_matches_masked(setup):
+    model, max_arch, variables, img, gt, arch = setup
+    rngs = {"dropout": jax.random.PRNGKey(4)}
+    (l0, _), mut0 = model.apply(variables, img, gt, arch, False,
+                                method=model.forward_train,
+                                mutable=["batch_stats"], rngs=rngs)
+    (l1, _), mut1 = model.apply(variables, img, gt, arch, False,
+                                exact_bounds(max_arch, SUB),
+                                method=model.forward_train,
+                                mutable=["batch_stats"], rngs=rngs)
+    assert float(l0) == float(l1)
+    # the bounded program must return the COMPLETE batch_stats collection
+    # (skipped blocks keep their old stats), or the train state would drop
+    # stats of inactive blocks
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        mut0["batch_stats"], mut1["batch_stats"])
+
+
+def test_bounded_grads_match_masked(setup):
+    model, max_arch, variables, img, gt, arch = setup
+
+    def loss(params, bounds):
+        (total, _) = model.apply(
+            {"params": params, **{k: v for k, v in variables.items()
+                                  if k != "params"}},
+            img, gt, arch, False, bounds, method=model.forward_train,
+            rngs={"dropout": jax.random.PRNGKey(4)})
+        return total
+
+    g0 = jax.grad(lambda p: loss(p, None))(variables["params"])
+    g1 = jax.grad(lambda p: loss(p, exact_bounds(max_arch, SUB)))(
+        variables["params"])
+    # skipped blocks get exactly-zero grads in BOTH paths (masked identity
+    # contributes nothing); every other grad must match
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        g0, g1)
+
+
+def test_bucketer_covers_and_is_bounded():
+    max_arch = model_max_arch(MODEL)
+    sampler = build_model_sampler(dict(type="concat", model_samplers=[
+        dict(type="anchor", anchors=[
+            {"name": "MIN", "arch.backbone.body.depth": [1, 1, 2, 1]},
+            {"name": "MID", "arch.backbone.body.depth": [2, 2, 3, 1]}]),
+        dict(type="repeat", times=3, model_sampler=dict(
+            type="range", key="arch.backbone.body.depth",
+            start=[1, 1, 2, 1], end=[2, 3, 5, 2], step=[1, 1, 1, 1]))]))
+    bucketer = make_depth_bucketer(sampler, max_arch)
+    seen = set()
+    for _ in range(64):
+        meta = sampler.sample()
+        b = bucketer(meta)
+        assert b.covers(meta.get("arch.backbone.body.depth",
+                                 max_arch["backbone"]["body"]["depth"]))
+        seen.add(b)
+    # distinct compiled variants stay bounded: anchors + dominant-stage
+    # quantization levels + MAX
+    assert len(seen) <= 2 + 4 + 1
+    # anchors map to their exact tuple (smallest covering candidate)
+    assert bucketer({"arch.backbone.body.depth": [1, 1, 2, 1]}
+                    ).body_depth == (1, 1, 2, 1)
+
+
+def test_covering_bounds():
+    max_arch = model_max_arch(MODEL)
+    metas = [{"arch.backbone.body.depth": [1, 3, 2, 1]},
+             {"arch.backbone.body.depth": [2, 1, 4, 2]}]
+    cb = covering_bounds(max_arch, metas)
+    assert cb.body_depth == (2, 3, 4, 2)
+    assert covering_bounds(max_arch, []).body_depth == (2, 3, 5, 2)
+
+
+def test_bounded_population_eval_matches(setup):
+    from gaiaseg_tpu.engine.evaluate import population_eval_steps
+    model, max_arch, variables, img, gt, arch = setup
+    metas = [SUB, {"arch.backbone.body.depth": [2, 1, 4, 2]}]
+    archs = [encode_arch(max_arch, m) for m in metas]
+    stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *archs)
+    step = population_eval_steps(model, 7)
+    cm0 = step(variables, img, gt, stack)
+    cm1 = step(variables, img, gt, stack,
+               bounds=covering_bounds(max_arch, metas))
+    np.testing.assert_array_equal(np.asarray(cm0), np.asarray(cm1))
