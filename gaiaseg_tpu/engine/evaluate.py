@@ -12,6 +12,7 @@ recompiles, which is what makes the >=500 subnets/hr target reachable.
 """
 from __future__ import annotations
 
+import functools
 import logging
 import time
 from typing import Dict, Optional
@@ -23,17 +24,19 @@ from ..data.loader import BatchLoader
 from ..data.metrics import SegEvaluator, confusion_matrix
 from ..data.pipeline_cfg import TestPipelineParams
 from ..data.transforms import prepare_eval_batch
-from ..models.arch_util import encode_arch
+from ..models.arch_util import encode_arch, exact_bounds
 
 logger = logging.getLogger("gaiaseg_tpu")
 
 
 def make_eval_step(model, num_classes: int, flip: bool = False):
-    """jitted: (variables, img, gt, arch) -> [C,C] confusion matrix."""
+    """jitted: (variables, img, gt, arch[, bounds]) -> [C,C] confusion
+    matrix. ``bounds`` (STATIC ArchBounds) selects the depth-proportional
+    program for that bucket — None keeps the single-compile MAX program."""
 
-    @jax.jit
-    def step(variables, img, gt, arch):
-        pred = model.apply(variables, img, arch, flip,
+    @functools.partial(jax.jit, static_argnames=("bounds",))
+    def step(variables, img, gt, arch, bounds=None):
+        pred = model.apply(variables, img, arch, flip, bounds,
                            method=model.simple_test)
         return confusion_matrix(pred, gt, num_classes)
 
@@ -43,8 +46,8 @@ def make_eval_step(model, num_classes: int, flip: bool = False):
 def evaluate(model, variables, dataset, arch, *,
              test_params: Optional[TestPipelineParams] = None,
              batch_size: int = 1, flip: bool = False,
-             eval_step=None, max_batches: Optional[int] = None
-             ) -> Dict[str, float]:
+             eval_step=None, max_batches: Optional[int] = None,
+             bounds=None) -> Dict[str, float]:
     test_params = test_params or TestPipelineParams()
     num_classes = model.num_classes
     if eval_step is None:
@@ -52,7 +55,14 @@ def evaluate(model, variables, dataset, arch, *,
     mean = jnp.asarray(test_params.mean)
     std = jnp.asarray(test_params.std)
     cm = jnp.zeros((num_classes, num_classes), jnp.int32)
-    loader = BatchLoader(dataset, batch_size, shuffle=False, drop_last=False)
+    # shard the val set across processes (reference multi_gpu_test splits
+    # by rank, apis/test.py:68-109) — each process sweeps its slice, then
+    # the integer confusion matrices are summed host-side (the TPU analog
+    # of collect_results_*: the CM is the entire eval state, a [C,C] int
+    # array, so the gather is trivial and exact)
+    loader = BatchLoader(dataset, batch_size, shuffle=False, drop_last=False,
+                         shard_id=jax.process_index(),
+                         num_shards=jax.process_count())
     n = 0
     for batch in loader:
         img = prepare_eval_batch(jnp.asarray(batch["img"]), mean, std)
@@ -61,10 +71,15 @@ def evaluate(model, variables, dataset, arch, *,
         if pad:
             # wrapped tail records: neutralize their labels
             gt = gt.at[batch_size - pad:].set(255)
-        cm = cm + eval_step(variables, img, gt, arch)
+        cm = cm + eval_step(variables, img, gt, arch, bounds=bounds)
         n += batch_size - pad
         if max_batches and n >= max_batches * batch_size:
             break
+    if jax.process_count() > 1:
+        from ..parallel.mesh import all_gather_objects
+        import numpy as _np
+        cm = sum(_np.asarray(c) for c in all_gather_objects(_np.asarray(cm)))
+        cm = jnp.asarray(cm)
     ev = SegEvaluator(num_classes, getattr(dataset, "CLASSES", None))
     ev._cm = cm
     return ev.evaluate()
@@ -72,19 +87,23 @@ def evaluate(model, variables, dataset, arch, *,
 
 def cross_arch_evaluate(model, variables, val_sampler, dataset, max_arch, *,
                         test_params: Optional[TestPipelineParams] = None,
-                        batch_size: int = 1, flip: bool = False
+                        batch_size: int = 1, flip: bool = False,
+                        use_bounds: bool = False
                         ) -> Dict[str, Dict[str, float]]:
     """Evaluate every anchor of ``val_sampler`` (reference
-    cross_arch_eval_hooks.py:50-92). One compiled eval graph serves all."""
+    cross_arch_eval_hooks.py:50-92). One compiled eval graph serves all;
+    ``use_bounds=True`` instead compiles one depth-proportional program per
+    anchor (worth it on the chip when the val sweep dwarfs compile time)."""
     eval_step = make_eval_step(model, model.num_classes, flip)
     results: Dict[str, Dict[str, float]] = {}
     for i, meta in enumerate(val_sampler.traverse()):
         name = meta.get("name", val_sampler.anchor_name(i))
         arch = encode_arch(max_arch, meta)
+        bounds = exact_bounds(max_arch, meta) if use_bounds else None
         t0 = time.time()
         metrics = evaluate(model, variables, dataset, arch,
                            test_params=test_params, batch_size=batch_size,
-                           flip=flip, eval_step=eval_step)
+                           flip=flip, eval_step=eval_step, bounds=bounds)
         logger.info("cross-arch eval [%s]: mIoU=%.4f aAcc=%.4f (%.1fs)",
                     name, metrics["mIoU"], metrics["aAcc"],
                     time.time() - t0)
@@ -94,7 +113,7 @@ def cross_arch_evaluate(model, variables, val_sampler, dataset, max_arch, *,
 
 def evaluate_population(model, variables, dataset, archs, *,
                         test_params: Optional[TestPipelineParams] = None,
-                        batch_size: int = 1) -> list:
+                        batch_size: int = 1, bounds=None) -> list:
     """Score a whole population of subnets with ONE compiled graph: per val
     batch, ``vmap`` over the stacked arch pytree accumulates a confusion
     matrix per subnet (BASELINE.json stretch config: vmapped 256-subnet
@@ -104,6 +123,8 @@ def evaluate_population(model, variables, dataset, archs, *,
     arch_stack = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *archs)
     step = population_eval_steps(model, num_classes)
+    # ``bounds`` must COVER every arch in the population (one program is
+    # vmapped over the whole stack); compute it with covering_bounds(...)
     mean = jnp.asarray(test_params.mean)
     std = jnp.asarray(test_params.std)
     cms = jnp.zeros((len(archs), num_classes, num_classes), jnp.int32)
@@ -114,7 +135,7 @@ def evaluate_population(model, variables, dataset, archs, *,
         pad = batch.get("pad_count", 0)
         if pad:
             gt = gt.at[batch_size - pad:].set(255)
-        cms = cms + step(variables, img, gt, arch_stack)
+        cms = cms + step(variables, img, gt, arch_stack, bounds=bounds)
     results = []
     for i in range(len(archs)):
         ev = SegEvaluator(num_classes, getattr(dataset, "CLASSES", None))
@@ -128,10 +149,10 @@ def population_eval_steps(model, num_classes: int):
     subnet archs per batch (BASELINE.json north star: vmap over subnet
     populations to amortize compilation)."""
 
-    @jax.jit
-    def step(variables, img, gt, arch_stack):
+    @functools.partial(jax.jit, static_argnames=("bounds",))
+    def step(variables, img, gt, arch_stack, bounds=None):
         def one(arch):
-            pred = model.apply(variables, img, arch,
+            pred = model.apply(variables, img, arch, False, bounds,
                                method=model.simple_test)
             return confusion_matrix(pred, gt, num_classes)
         return jax.vmap(one)(arch_stack)

@@ -81,22 +81,48 @@ def initialize_distributed(coordinator: Optional[str] = None,
 
 
 def broadcast_object(obj: Any, is_source: Optional[bool] = None) -> Any:
-    """Broadcast a python object from process 0 (replaces the reference's
-    pickle-to-CUDA-tensor NCCL hack, reference apis/test.py:117-129 and
-    gaiavision ``broadcast_object``). Identity in single-process runs;
-    multi-host uses multihost_utils over DCN."""
+    """Broadcast an arbitrary python object from process 0 (replaces the
+    reference's pickle-to-CUDA-tensor NCCL hack, reference
+    apis/test.py:117-129 and gaiavision ``broadcast_object``). Identity in
+    single-process runs.
+
+    Sampler metas contain python strings/dicts (``{'name': 'R50', ...}``),
+    which ``multihost_utils.broadcast_one_to_all`` cannot carry (it takes
+    array pytrees) — so: pickle -> uint8 array (length broadcast first so
+    non-source processes allocate the matching shape) -> unpickle.
+    """
     if jax.process_count() == 1:
         return obj
+    import pickle
     from jax.experimental import multihost_utils
-    return multihost_utils.broadcast_one_to_all(obj,
-                                                is_source=is_source)
+    if is_source is None:
+        is_source = jax.process_index() == 0
+    payload = pickle.dumps(obj) if is_source else b""
+    n = multihost_utils.broadcast_one_to_all(
+        np.asarray([len(payload)], np.int32), is_source=is_source)
+    buf = np.zeros(int(n[0]), np.uint8)
+    if is_source:
+        buf[:] = np.frombuffer(payload, np.uint8)
+    buf = multihost_utils.broadcast_one_to_all(buf, is_source=is_source)
+    return pickle.loads(np.asarray(buf).tobytes())
 
 
 def all_gather_objects(obj: Any) -> list:
-    """Gather per-process python objects to every process (replaces
-    collect_results_cpu/gpu, reference apis/test.py:112-186). Single-process:
-    [obj]."""
+    """Gather one python object per process to every process, ordered by
+    process index (replaces collect_results_cpu/gpu, reference
+    apis/test.py:112-186). Single-process: ``[obj]``. Same pickle->uint8
+    transport as ``broadcast_object``; payloads are padded to the max
+    length before the array allgather, then truncated per true length."""
     if jax.process_count() == 1:
         return [obj]
+    import pickle
     from jax.experimental import multihost_utils
-    return list(multihost_utils.process_allgather(obj))
+    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
+    lens = multihost_utils.process_allgather(
+        np.asarray([payload.size], np.int32))          # [P, 1]
+    lens = np.asarray(lens).reshape(-1)
+    buf = np.zeros(int(lens.max()), np.uint8)
+    buf[:payload.size] = payload
+    bufs = np.asarray(multihost_utils.process_allgather(buf))  # [P, maxlen]
+    return [pickle.loads(bufs[i, :int(lens[i])].tobytes())
+            for i in range(bufs.shape[0])]
