@@ -34,6 +34,9 @@ class TrainPipelineParams:
 class TestPipelineParams:
     img_scale: Optional[Tuple[int, int]] = None   # (w, h) mmcv order
     flip: bool = False
+    # multi-scale TTA ratios (MultiScaleFlipAug img_ratios, reference pspnet
+    # config :76-93); None/(1.0,) = single scale
+    img_ratios: Optional[Tuple[float, ...]] = None
     mean: Tuple[float, ...] = IMAGENET_MEAN
     std: Tuple[float, ...] = IMAGENET_STD
 
@@ -73,8 +76,18 @@ def parse_test_pipeline(pipeline: Sequence[Dict[str, Any]]
                 scale = op["img_scale"]
                 if isinstance(scale, (list, tuple)) and scale and \
                         isinstance(scale[0], (list, tuple)):
-                    scale = scale[0]
+                    # explicit multi-scale list -> ratios vs the base scale
+                    scales = [tuple(s) for s in scale]
+                    base = max(scales, key=lambda s: s[0] * s[1])
+                    rs = tuple(round(s[0] / base[0], 4) for s in scales)
+                    if len(rs) > 1:
+                        p.img_ratios = rs
+                    scale = base
                 p.img_scale = tuple(scale)
+            if op.get("img_ratios"):
+                rs = tuple(float(r) for r in op["img_ratios"])
+                if len(rs) > 1 or rs != (1.0,):
+                    p.img_ratios = rs
             p.flip = bool(op.get("flip", False))
             for sub in op.get("transforms", []):
                 if sub.get("type") == "Normalize":

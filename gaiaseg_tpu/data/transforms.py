@@ -103,7 +103,6 @@ def random_scale_crop(rng: Array, img: Array, label: Array,
     margin_y = jnp.maximum(sh - ch, 0.0)
     margin_x = jnp.maximum(sw - cw, 0.0)
 
-    keys = jax.random.split(k_off, max_trials)
     us = jax.random.uniform(k_off, (max_trials, 2))
     cand_y = jnp.floor(us[:, 0] * (margin_y + 1.0)).astype(jnp.int32)
     cand_x = jnp.floor(us[:, 1] * (margin_x + 1.0)).astype(jnp.int32)

@@ -29,15 +29,33 @@ from ..models.arch_util import encode_arch, exact_bounds
 logger = logging.getLogger("gaiaseg_tpu")
 
 
-def make_eval_step(model, num_classes: int, flip: bool = False):
+def make_eval_step(model, num_classes: int, flip: bool = False,
+                   ratios=None):
     """jitted: (variables, img, gt, arch[, bounds]) -> [C,C] confusion
     matrix. ``bounds`` (STATIC ArchBounds) selects the depth-proportional
-    program for that bucket — None keeps the single-compile MAX program."""
+    program for that bucket — None keeps the single-compile MAX program.
+    ``ratios`` (MultiScaleFlipAug img_ratios) turns the step into
+    multi-scale TTA via ``aug_test`` — all scales run inside ONE program
+    (bilinear rescale commutes with per-channel normalization, so rescaling
+    the normalized batch on-device is exact)."""
+    ratios = tuple(float(r) for r in ratios) if ratios else None
+    if ratios == (1.0,):
+        ratios = None
 
     @functools.partial(jax.jit, static_argnames=("bounds",))
     def step(variables, img, gt, arch, bounds=None):
-        pred = model.apply(variables, img, arch, flip, bounds,
-                           method=model.simple_test)
+        if ratios:
+            from ..ops.resize import resize_bilinear
+            h, w = img.shape[1:3]
+            imgs = [img if abs(r - 1.0) < 1e-6 else
+                    resize_bilinear(img, (max(int(round(h * r)), 1),
+                                          max(int(round(w * r)), 1)), False)
+                    for r in ratios]
+            pred = model.apply(variables, imgs, arch, flip, bounds,
+                               method=model.aug_test, out_hw=(h, w))
+        else:
+            pred = model.apply(variables, img, arch, flip, bounds,
+                               method=model.simple_test)
         return confusion_matrix(pred, gt, num_classes)
 
     return step
@@ -51,7 +69,9 @@ def evaluate(model, variables, dataset, arch, *,
     test_params = test_params or TestPipelineParams()
     num_classes = model.num_classes
     if eval_step is None:
-        eval_step = make_eval_step(model, num_classes, flip)
+        eval_step = make_eval_step(model, num_classes, flip,
+                                   ratios=getattr(test_params, "img_ratios",
+                                                  None))
     mean = jnp.asarray(test_params.mean)
     std = jnp.asarray(test_params.std)
     cm = jnp.zeros((num_classes, num_classes), jnp.int32)
@@ -94,7 +114,9 @@ def cross_arch_evaluate(model, variables, val_sampler, dataset, max_arch, *,
     cross_arch_eval_hooks.py:50-92). One compiled eval graph serves all;
     ``use_bounds=True`` instead compiles one depth-proportional program per
     anchor (worth it on the chip when the val sweep dwarfs compile time)."""
-    eval_step = make_eval_step(model, model.num_classes, flip)
+    eval_step = make_eval_step(model, model.num_classes, flip,
+                               ratios=getattr(test_params, "img_ratios",
+                                              None))
     results: Dict[str, Dict[str, float]] = {}
     for i, meta in enumerate(val_sampler.traverse()):
         name = meta.get("name", val_sampler.anchor_name(i))

@@ -152,6 +152,41 @@ def make_multi_train_step(model, tx, k: int):
     return multi_step
 
 
+def load_teacher_checkpoint(path: str, params: Dict[str, Any]
+                            ) -> Dict[str, Any]:
+    """Load the distiller's frozen-teacher weights (reference
+    dynamic_distiller.py:195-200 ``teacher_ckpt`` load incl. the
+    pos-embedding surgery, here inside the BEiT converter).
+
+    ``.pth``/``.pt``: an official-layout torch BEiT checkpoint converted
+    into ``params['t_backbone']`` (tables resampled to our window). Other
+    paths: an our-format checkpoint whose params tree carries the
+    ``t_backbone``/``t_decode_head`` subtrees (e.g. saved from a distiller
+    run)."""
+    params = dict(params)
+    if path.endswith((".pth", ".pt")):
+        import torch
+        from .torch_convert import beit_state_dict_to_params
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict):
+            sd = sd.get("state_dict", sd.get("model", sd))
+        sd = {(k[len("backbone."):] if k.startswith("backbone.") else k): v
+              for k, v in sd.items()}
+        params["t_backbone"] = beit_state_dict_to_params(
+            sd, params["t_backbone"])
+        logger.info("loaded torch BEiT teacher from %s", path)
+        return params
+    from .checkpoint import load_checkpoint
+    keys = [k for k in ("t_backbone", "t_decode_head", "t_neck")
+            if k in params]
+    tmpl = {"params": {k: params[k] for k in keys}}
+    loaded, _ = load_checkpoint(path, tmpl)
+    for k in keys:
+        params[k] = loaded["params"][k]
+    logger.info("loaded teacher subtrees %s from %s", keys, path)
+    return params
+
+
 def _max_iters(cfg) -> int:
     runner = cfg.get("runner") or {}
     if runner.get("max_iters"):
@@ -235,7 +270,13 @@ def train_segmentor(model, cfg, *, work_dir: str,
             logger.info("resumed from %s at step %d", path, start_step)
         elif load_from:
             tmpl = {"params": state.params, "batch_stats": state.batch_stats}
-            loaded, _ = load_checkpoint(load_from, tmpl)
+            if str(load_from).endswith((".pth", ".pt")):
+                # reference-format full segmentor checkpoint (reference
+                # tools/extract_subnet.py:91-94 load path)
+                from .torch_convert import load_torch_segmentor
+                loaded = load_torch_segmentor(load_from, tmpl, model_cfg)
+            else:
+                loaded, _ = load_checkpoint(load_from, tmpl)
             state = state.replace(params=loaded["params"],
                                   batch_stats=loaded["batch_stats"])
             logger.info("loaded weights from %s", load_from)
@@ -251,6 +292,16 @@ def train_segmentor(model, cfg, *, work_dir: str,
             state = state.replace(params=p, batch_stats=s)
             logger.info("loaded torch pretrained backbone from %s",
                         pretrained)
+        teacher_ckpt = cfg.get("teacher_checkpoint") \
+            or model_cfg.get("teacher_ckpt")
+        if teacher_ckpt and "t_backbone" in state.params \
+                and not resume_from:
+            if osp.exists(str(teacher_ckpt)):
+                state = state.replace(params=load_teacher_checkpoint(
+                    str(teacher_ckpt), state.params))
+            else:
+                logger.warning("teacher_checkpoint %s not found; teacher "
+                               "keeps fresh init", teacher_ckpt)
     start_step = int(state.step)
     state = replicate(state, mesh)
 
@@ -287,7 +338,48 @@ def train_segmentor(model, cfg, *, work_dir: str,
                         .get("interval", 8000))
     eval_interval = int((cfg.get("evaluation") or {}).get("interval", 8000))
 
-    history: Dict[str, Any] = {"loss": [], "eval": []}
+    # two-phase workflow [('train',N),('val',M)] (reference apis/train.py:186
+    # + tools/train_supernet.py:192-196): every N train iters, M val-loss
+    # iterations run on the val set — same losses, frozen stats, no update
+    workflow = list(cfg.get("workflow") or [("train", 1)])
+    wf_train = next((int(n) for m, n in workflow if m == "train"), 1)
+    wf_val = next((int(n) for m, n in workflow if m == "val"), 0)
+    val_loss_step = val_iter = None
+    if wf_val and val_dataset is not None:
+        mean_v = jnp.asarray(test_pipe.mean)
+        std_v = jnp.asarray(test_pipe.std)
+
+        @jax.jit
+        def val_loss_step(state, img, gt, arch, rng):
+            (total, logs), _ = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                img, gt, arch, False, method=model.forward_train,
+                mutable=[], rngs={"dropout": rng})
+            return logs
+
+        val_iter = iter(BatchLoader(val_dataset, samples_per_gpu * n_dev,
+                                    shuffle=False, drop_last=False,
+                                    infinite=True,
+                                    shard_id=jax.process_index(),
+                                    num_shards=jax.process_count()))
+
+        def run_val_phase(state, it):
+            from ..data.transforms import prepare_eval_batch
+            nonlocal rng
+            v_losses = []
+            for _ in range(wf_val):
+                vb = next(val_iter)
+                vimg = prepare_eval_batch(jnp.asarray(vb["img"]),
+                                          mean_v, std_v)
+                vgt = jnp.asarray(vb["gt"])
+                varch, _ = next_arch()
+                rng, k_v = jax.random.split(rng)
+                vlogs = val_loss_step(state, vimg, vgt, varch, k_v)
+                v_losses.append(float(vlogs["decode.loss_seg"]))
+            history["val_loss"].append(
+                {"iter": it, "loss": sum(v_losses) / len(v_losses)})
+
+    history: Dict[str, Any] = {"loss": [], "eval": [], "val_loss": []}
     # depth-proportional fast path: bucket sampled archs into a bounded set
     # of STATIC depth bounds (exact for sandwich anchors). Off when
     # scan_blocks (stacked-param layout pins the trip count) or when the
@@ -358,6 +450,8 @@ def train_segmentor(model, cfg, *, work_dir: str,
                 n_acc += 1
             step_inc = 1
         it += step_inc
+        if val_loss_step is not None and it % wf_train < step_inc:
+            run_val_phase(state, it)
         if it % log_interval < step_inc:
             dt = time.time() - t_last
             ips = log_interval * global_batch / max(dt, 1e-9)

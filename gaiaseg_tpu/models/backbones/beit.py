@@ -73,7 +73,9 @@ class BEiTBlock(nn.Module):
         z = DynLayerNorm(self.dim, dtype=self.dtype, name="norm2")(x)
         z = DynLinear(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                       name="fc1")(z)
-        z = nn.gelu(z)
+        # exact (erf) GELU: torch nn.GELU default — keeps converted teacher
+        # checkpoints bit-faithful
+        z = jax.nn.gelu(z, approximate=False)
         z = DynLinear(self.dim, dtype=self.dtype, name="fc2")(z)
         g2 = self.param("gamma_2", nn.initializers.constant(self.init_values),
                         (self.dim,), jnp.float32)
@@ -103,7 +105,7 @@ class BEiT(nn.Module):
         gh, gw = h // self.patch_size, w // self.patch_size
         n = gh * gw
         x = DynConv2d(self.embed_dim, self.patch_size, self.patch_size,
-                      use_bias=True, dtype=self.dtype,
+                      use_bias=True, padding=0, dtype=self.dtype,
                       name="patch_embed")(x)
         x = x.reshape(b, n, self.embed_dim)
         cls = self.param("cls_token", nn.initializers.truncated_normal(0.02),

@@ -100,7 +100,8 @@ class DynamicConvNeXt(nn.Module):
                     for i in range(total)]
 
         mask0 = channel_mask(widths[0], self.dims[0], self.dtype)
-        x = DynConv2d(self.dims[0], 4, 4, use_bias=True, dtype=self.dtype,
+        x = DynConv2d(self.dims[0], 4, 4, use_bias=True, padding=0,
+                      dtype=self.dtype,
                       name="stem")(x, mask0)
         x = DynLayerNorm(self.dims[0], epsilon=1e-6, dtype=self.dtype,
                          name="stem_ln")(x, mask0)

@@ -35,12 +35,14 @@ class _ScannedBottleneck(nn.Module):
     expansion: int = 4
     dilation: int = 1
     train: bool = False
+    bn_groups: int = 1
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, active, width, out_mask):
         y = DynBottleneck(self.planes, self.expansion, 1, self.dilation,
-                          has_downsample=False, dtype=self.dtype,
+                          has_downsample=False, bn_groups=self.bn_groups,
+                          dtype=self.dtype,
                           name="b")(x, width, out_mask, train=self.train,
                                     active=active)
         return y, None
@@ -65,6 +67,7 @@ class DynResLayer(nn.Module):
     contract_dilation: bool = False
     expansion: int = 4
     scan_blocks: bool = False   # True: stacked-param nn.scan tail blocks
+    bn_groups: int = 1          # BN stat groups (see DynBatchNorm)
     depth_bound: int = 0        # STATIC execution bound; 0 = max_depth.
                                 # Blocks >= bound never execute (depth-
                                 # proportional cost, like the reference's
@@ -82,7 +85,8 @@ class DynResLayer(nn.Module):
             first_dilation = self.dilation // 2
         x = DynBottleneck(self.planes, self.expansion, self.strides,
                           first_dilation, has_downsample=True,
-                          avg_down=self.avg_down, dtype=self.dtype,
+                          avg_down=self.avg_down, bn_groups=self.bn_groups,
+                          dtype=self.dtype,
                           name="block0")(x, width, out_mask, train=train)
         bound = self.max_depth
         if self.depth_bound and not self.is_initializing():
@@ -103,13 +107,15 @@ class DynResLayer(nn.Module):
                 in_axes=(0, nn.broadcast, nn.broadcast),
                 length=self.max_depth - 1)
             x, _ = scan(self.planes, self.expansion, self.dilation,
-                        train=train, dtype=self.dtype, name="blocks")(
+                        train=train, bn_groups=self.bn_groups,
+                        dtype=self.dtype, name="blocks")(
                 x, actives, width, out_mask)
             return x
         for i in range(1, bound):
             active = jnp.asarray(i, jnp.int32) < depth
             x = DynBottleneck(self.planes, self.expansion, 1, self.dilation,
-                              has_downsample=False, dtype=self.dtype,
+                              has_downsample=False,
+                              bn_groups=self.bn_groups, dtype=self.dtype,
                               name=f"block{i}")(
                 x, width, out_mask, train=train, active=active)
         return x
@@ -130,6 +136,10 @@ class DynamicResNet(nn.Module):
     frozen_stages: int = -1                   # applied via optimizer masking
     scan_blocks: bool = False                 # nn.scan tail blocks (see
                                               # DynResLayer docstring)
+    bn_groups: int = 1                        # BN stat groups: 1 = global
+                                              # sync; n_data_shards =
+                                              # reference per-device
+                                              # group_size=1 semantics
     dtype: Any = jnp.bfloat16
 
     search_space = ("stem", "body")
@@ -175,12 +185,14 @@ class DynamicResNet(nn.Module):
                     (stem_w[0] // 2 if i < 2 else stem_w[0])
                 mask = channel_mask(w_act, w_max, self.dtype)
                 x = DynConvModule(w_max, 3, 2 if i == 0 else 1, norm="bn",
-                                  act="relu", dtype=self.dtype,
+                                  act="relu", bn_groups=self.bn_groups,
+                                  dtype=self.dtype,
                                   name=f"stem{i}")(x, mask, train=bn_train)
         else:
             mask = channel_mask(stem_w[0], sws[0], self.dtype)
             x = DynConvModule(sws[0], 7, 2, norm="bn", act="relu",
-                              dtype=self.dtype, name="stem0")(
+                              bn_groups=self.bn_groups, dtype=self.dtype,
+                              name="stem0")(
                 x, mask, train=bn_train)
         # 3x3/2 max pool, torch-style pad 1
         x = nn.max_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)))
@@ -192,6 +204,7 @@ class DynamicResNet(nn.Module):
                             avg_down=self.avg_down,
                             contract_dilation=self.contract_dilation,
                             scan_blocks=self.scan_blocks,
+                            bn_groups=self.bn_groups,
                             depth_bound=int(depth_bounds[i]),
                             dtype=self.dtype, name=f"layer{i + 1}")(
                 x, widths[i], depths[i], train=bn_train)

@@ -276,7 +276,7 @@ class ElasticConvformer(nn.Module):
                                 name="conv_1")(x_base, w0, train=train)
         cls = self.param("cls_token", nn.initializers.truncated_normal(0.02),
                          (1, 1, self.embed_dim), jnp.float32)
-        tok = DynConv2d(self.embed_dim, dw, dw, use_bias=True,
+        tok = DynConv2d(self.embed_dim, dw, dw, use_bias=True, padding=0,
                         dtype=self.dtype, name="trans_patch_conv")(
             x_base, embed_mask)
         gh, gw = tok.shape[1], tok.shape[2]

@@ -48,6 +48,7 @@ class SRAttention(nn.Module):
         kv_in = x
         if self.sr_ratio > 1:
             kv_in = DynConv2d(self.dim, self.sr_ratio, self.sr_ratio,
+                              padding=0,
                               use_bias=True, dtype=self.dtype,
                               name="sr")(x, dim_mask)
             kv_in = DynLayerNorm(self.dim, dtype=self.dtype,

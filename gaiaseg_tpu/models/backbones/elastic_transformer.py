@@ -63,29 +63,52 @@ def relative_index_2d(gh: int, gw: int, max_dist: int,
 
 class ElasticRelativePosition2D(nn.Module):
     """2D-decomposed Shaw-style relative positions: a row table + a col
-    table of per-distance key embeddings; the attention-score contribution
-    is ``q . (R_row[dr] + R_col[dc])`` (reference :67-104, applied to the
-    attention scores at :162-179)."""
+    table of per-distance embeddings, ``R[i,j] = T_row[dr] + T_col[dc]``
+    (reference ElasticRelativePosition2D :67-104). Used on the score side
+    (``q . R`` added to attention logits, reference :162-167) and on the
+    value side (``attn @ R`` added to the attention output, :173-179)."""
 
     max_dist: int = 14
     head_dim: int = HEAD_DIM
     dtype: Any = jnp.bfloat16
 
-    @nn.compact
+    def setup(self):
+        n_entries = 2 * self.max_dist + 2  # + cls slot
+        self.table_r = self.param(
+            "rel_rows", nn.initializers.truncated_normal(0.02),
+            (n_entries, self.head_dim), jnp.float32)
+        self.table_c = self.param(
+            "rel_cols", nn.initializers.truncated_normal(0.02),
+            (n_entries, self.head_dim), jnp.float32)
+
     def __call__(self, q: Array, rel_r: Array, rel_c: Array) -> Array:
         """q: [b, n, h, d]; rel_r/rel_c: [n, n] int32 -> scores [b,h,n,n]."""
-        n_entries = 2 * self.max_dist + 2  # + cls slot
-        table_r = self.param("rel_rows", nn.initializers.truncated_normal(
-            0.02), (n_entries, self.head_dim), jnp.float32)
-        table_c = self.param("rel_cols", nn.initializers.truncated_normal(
-            0.02), (n_entries, self.head_dim), jnp.float32)
         # separable: project q onto every distance embedding, then gather
         qr = jnp.einsum("bnhd,kd->bhnk", q,
-                        table_r.astype(q.dtype))     # [b,h,n,K]
-        qc = jnp.einsum("bnhd,kd->bhnk", q, table_c.astype(q.dtype))
+                        self.table_r.astype(q.dtype))     # [b,h,n,K]
+        qc = jnp.einsum("bnhd,kd->bhnk", q, self.table_c.astype(q.dtype))
         s_r = jnp.take_along_axis(qr, rel_r[None, None], axis=-1)
         s_c = jnp.take_along_axis(qc, rel_c[None, None], axis=-1)
         return s_r + s_c
+
+    def value_contrib(self, attn: Array, rel_r: Array, rel_c: Array
+                      ) -> Array:
+        """attn: [b,h,n,n] -> output-side contribution [b,n,h,d]:
+        ``out[i] += sum_j attn[i,j] * R[i,j]`` (reference :173-179).
+
+        TPU shape: never materializes the [n,n,d] embedding tensor — the
+        attention mass is first bucketed per clipped distance (K = 2*14+2
+        entries < head_dim), then one [K,d] matmul per table."""
+        k_entries = self.table_r.shape[0]
+        dt = attn.dtype
+        oh_r = jax.nn.one_hot(rel_r, k_entries, dtype=dt)     # [n,n,K]
+        oh_c = jax.nn.one_hot(rel_c, k_entries, dtype=dt)
+        w_r = jnp.einsum("bhij,ijk->bhik", attn, oh_r)
+        w_c = jnp.einsum("bhij,ijk->bhik", attn, oh_c)
+        contrib = jnp.einsum("bhik,kd->bhid", w_r,
+                             self.table_r.astype(dt)) + \
+            jnp.einsum("bhik,kd->bhid", w_c, self.table_c.astype(dt))
+        return contrib.transpose(0, 2, 1, 3)                  # [b,n,h,d]
 
 
 class ElasticMHA(nn.Module):
@@ -115,14 +138,24 @@ class ElasticMHA(nn.Module):
             from ...ops.pallas.flash_attention import flash_attention
             out = flash_attention(q * scale, k, v)
         else:
-            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k)
+            logits = jnp.einsum("bnhd,bmhd->bhnm", q,
+                                k).astype(jnp.float32) * scale
             if use_rel:
+                # reference adds the rel-pos score UNSCALED on top of the
+                # scaled qk logits (elastic_transformer.py:162-167)
                 rel_r, rel_c = rel_index
-                attn = attn + ElasticRelativePosition2D(
-                    self.rel_max_dist, dtype=self.dtype,
-                    name="rel_pos")(q, rel_r, rel_c)
-            attn = jax.nn.softmax(attn.astype(jnp.float32) * scale, axis=-1)
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v)
+                rp_k = ElasticRelativePosition2D(
+                    self.rel_max_dist, dtype=self.dtype, name="rel_pos")
+                logits = logits + rp_k(q, rel_r,
+                                       rel_c).astype(jnp.float32)
+            attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
+            if use_rel:
+                # output-side rel-pos (reference :173-179): attn @ R_v,
+                # shared across heads, added before the out projection
+                rp_v = ElasticRelativePosition2D(
+                    self.rel_max_dist, dtype=self.dtype, name="rel_pos_v")
+                out = out + rp_v.value_contrib(attn, rel_r, rel_c)
         out = out.reshape(b, n, inner) * head_mask
         return DynLinear(self.embed_dim, dtype=self.dtype, name="proj")(
             out, embed_mask)
@@ -154,7 +187,8 @@ class ElasticEncoderLayer(nn.Module):
             x1, embed_mask)
         ffn_mask = channel_mask(ffn_channels, self.max_ffn, self.dtype)
         z = DynLinear(self.max_ffn, dtype=self.dtype, name="fc1")(z, ffn_mask)
-        z = nn.gelu(z)
+        # exact (erf) GELU matches torch nn.GELU for converted ViT ckpts
+        z = jax.nn.gelu(z, approximate=False)
         z = DynLinear(self.embed_dim, dtype=self.dtype, name="fc2")(
             z, embed_mask)
         out = x1 + z
@@ -211,7 +245,7 @@ class ElasticTransformer(nn.Module):
         b, h, w, _ = x.shape
         gh, gw = h // self.patch_size, w // self.patch_size
         x = DynConv2d(self.embed_dim, self.patch_size, self.patch_size,
-                      use_bias=True, dtype=self.dtype,
+                      use_bias=True, padding=0, dtype=self.dtype,
                       name="patch_embed")(x, embed_mask)
         x = x.reshape(b, gh * gw, self.embed_dim)
 

@@ -55,12 +55,27 @@ def _freeze(v):
     return v
 
 
+def _norm_cfg_extras(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Translate norm_cfg keys that DO have a TPU equivalent.
+
+    ``stat_groups=G`` (our extension of the reference's
+    ``dict(type='DynSyncBN', group_size=1)``) selects per-batch-group BN
+    statistics — G = number of data-mesh shards reproduces the reference's
+    per-device groups exactly (see DynBatchNorm docstring). The reference
+    ``group_size`` key alone keeps the default global-sync stats (the
+    documented, lower-variance divergence)."""
+    nc = cfg.get("norm_cfg")
+    if isinstance(nc, dict) and int(nc.get("stat_groups", 1) or 1) > 1:
+        return {"bn_groups": int(nc["stat_groups"])}
+    return {}
+
+
 def build_backbone(cfg: Dict[str, Any]):
-    return _build_filtered(BACKBONES, cfg)
+    return _build_filtered(BACKBONES, cfg, **_norm_cfg_extras(cfg))
 
 
 def build_head(cfg: Dict[str, Any]):
-    return _build_filtered(HEADS, cfg)
+    return _build_filtered(HEADS, cfg, **_norm_cfg_extras(cfg))
 
 
 def build_neck(cfg: Dict[str, Any]):

@@ -37,6 +37,7 @@ class BaseDecodeHead(nn.Module):
     sampler: Any = None
     norm_cfg: Any = None
     conv_cfg: Any = None
+    bn_groups: int = 1   # BN stat groups (norm_cfg stat_groups plumbing)
     act_cfg: Any = None
     ignore_index: int = 255
 

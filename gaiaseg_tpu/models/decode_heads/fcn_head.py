@@ -36,12 +36,14 @@ class DynamicFCNHead(BaseDecodeHead):
             for i in range(self.num_convs):
                 y = DynConvModule(self.channels, self.kernel_size,
                                   dilation=self.dilation, norm="bn",
-                                  act="relu", dtype=self.dtype,
+                                  act="relu", bn_groups=self.bn_groups,
+                                  dtype=self.dtype,
                                   name=f"conv{i}")(y, train=train)
             feat = y
         if self.concat_input:
             feat = jnp.concatenate([x, y], axis=-1)
             feat = DynConvModule(self.channels, self.kernel_size, norm="bn",
-                                 act="relu", dtype=self.dtype,
+                                 act="relu", bn_groups=self.bn_groups,
+                                 dtype=self.dtype,
                                  name="conv_cat")(feat, train=train)
         return self.cls_seg(feat, train=train)

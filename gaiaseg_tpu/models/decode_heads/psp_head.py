@@ -31,6 +31,7 @@ class PPM(nn.Module):
     pool_scales: Sequence[int]
     channels: int
     align_corners: bool = False
+    bn_groups: int = 1
     dtype: object = jnp.bfloat16
 
     @nn.compact
@@ -40,7 +41,8 @@ class PPM(nn.Module):
         for scale in self.pool_scales:
             y = adaptive_avg_pool2d(x, scale)
             y = DynConvModule(self.channels, 1, norm="bn", act="relu",
-                              dtype=self.dtype, name=f"pool{scale}")(
+                              bn_groups=self.bn_groups, dtype=self.dtype,
+                              name=f"pool{scale}")(
                 y, train=train)
             outs.append(resize_bilinear(y, size, self.align_corners))
         return outs
@@ -54,10 +56,11 @@ class DynamicPSPHead(BaseDecodeHead):
     def __call__(self, inputs, *, train: bool = False) -> Array:
         x = self._transform_inputs(inputs)
         psp_outs = [x] + PPM(self.pool_scales, self.channels,
-                             self.align_corners, self.dtype,
+                             self.align_corners, self.bn_groups, self.dtype,
                              name="psp_modules")(x, train=train)
         feat = jnp.concatenate(psp_outs, axis=-1)
         feat = DynConvModule(self.channels, 3, norm="bn", act="relu",
-                             dtype=self.dtype, name="bottleneck")(
+                             bn_groups=self.bn_groups, dtype=self.dtype,
+                             name="bottleneck")(
             feat, train=train)
         return self.cls_seg(feat, train=train)

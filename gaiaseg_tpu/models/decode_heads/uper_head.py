@@ -34,9 +34,11 @@ class DynamicUPerHead(BaseDecodeHead):
         # PSP on the deepest level (dynamic_uper_head.py:32-47)
         top = feats[-1]
         psp_outs = [top] + PPM(self.pool_scales, self.channels,
-                               self.align_corners, self.dtype,
+                               self.align_corners, self.bn_groups,
+                               self.dtype,
                                name="psp_modules")(top, train=train)
         psp_feat = DynConvModule(self.channels, 3, norm="bn", act="relu",
+                                 bn_groups=self.bn_groups,
                                  dtype=self.dtype, name="psp_bottleneck")(
             jnp.concatenate(psp_outs, axis=-1), train=train)
 
@@ -45,6 +47,7 @@ class DynamicUPerHead(BaseDecodeHead):
         for i in range(n_levels - 1):
             laterals.append(
                 DynConvModule(self.channels, 1, norm="bn", act="relu",
+                              bn_groups=self.bn_groups,
                               dtype=self.dtype, name=f"lateral{i}")(
                     feats[i], train=train))
         laterals.append(psp_feat)
@@ -60,6 +63,7 @@ class DynamicUPerHead(BaseDecodeHead):
         for i in range(n_levels - 1):
             fpn_outs.append(
                 DynConvModule(self.channels, 3, norm="bn", act="relu",
+                              bn_groups=self.bn_groups,
                               dtype=self.dtype, name=f"fpn_conv{i}")(
                     laterals[i], train=train))
         fpn_outs.append(laterals[-1])
@@ -69,6 +73,7 @@ class DynamicUPerHead(BaseDecodeHead):
         fpn_outs = [resize_bilinear(f, size, self.align_corners)
                     for f in fpn_outs]
         feat = DynConvModule(self.channels, 3, norm="bn", act="relu",
+                             bn_groups=self.bn_groups,
                              dtype=self.dtype, name="fpn_bottleneck")(
             jnp.concatenate(fpn_outs, axis=-1), train=train)
         return self.cls_seg(feat, train=train)

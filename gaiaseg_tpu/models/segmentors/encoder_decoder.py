@@ -211,13 +211,17 @@ class DynamicEncoderDecoder(nn.Module):
                           axis=-1)
 
     def aug_test(self, imgs, arch: Dict[str, Any],
-                 flip: bool = False, bounds=None) -> Array:
+                 flip: bool = False, bounds=None, out_hw=None) -> Array:
         """Multi-scale (+flip) TTA: average softmax probs over a list of
-        rescaled inputs, resized to the first image's resolution
-        (reference dynamic_distiller.py:523-540 logit-averaging aug_test)."""
-        base_hw = imgs[0].shape[1:3]
-        prob = self.inference(imgs[0], arch, flip, bounds=bounds)
-        for im in imgs[1:]:
+        rescaled inputs, resized back to ``out_hw`` (default: the first
+        image's resolution) like the reference collects every scale at
+        ori_shape (reference dynamic_distiller.py:523-540)."""
+        base_hw = tuple(out_hw) if out_hw is not None \
+            else tuple(imgs[0].shape[1:3])
+        prob = None
+        for im in imgs:
             p = self.inference(im, arch, flip, bounds=bounds)
-            prob = prob + resize_bilinear(p, base_hw, self.align_corners)
+            if tuple(p.shape[1:3]) != base_hw:
+                p = resize_bilinear(p, base_hw, self.align_corners)
+            prob = p if prob is None else prob + p
         return jnp.argmax(prob / len(imgs), axis=-1)

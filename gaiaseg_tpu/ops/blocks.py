@@ -40,6 +40,7 @@ class DynConvModule(nn.Module):
     norm: Optional[str] = "bn"           # 'bn' | 'ln' | None
     act: Optional[str] = "relu"
     use_bias: Optional[bool] = None      # default: bias iff no norm
+    bn_groups: int = 1                   # BN stat groups (DynBatchNorm)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -55,7 +56,8 @@ class DynConvModule(nn.Module):
                       self.dilation, use_bias=bias, dtype=self.dtype,
                       name="conv")(x, conv_mask)
         if self.norm == "bn":
-            y = DynBatchNorm(self.features, dtype=self.dtype, name="bn")(
+            y = DynBatchNorm(self.features, dtype=self.dtype,
+                             stat_groups=self.bn_groups, name="bn")(
                 y, out_mask, use_running_average=not train,
                 update_gate=update_gate)
         elif self.norm == "ln":
@@ -79,6 +81,7 @@ class DynBottleneck(nn.Module):
     dilation: int = 1
     has_downsample: bool = False
     avg_down: bool = False
+    bn_groups: int = 1          # BN stat groups (DynBatchNorm)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -91,19 +94,22 @@ class DynBottleneck(nn.Module):
 
         y = DynConv2d(self.planes, 1, 1, use_bias=False, dtype=self.dtype,
                       name="conv1")(x)  # bn1 masks
-        y = DynBatchNorm(self.planes, dtype=self.dtype, name="bn1")(
+        y = DynBatchNorm(self.planes, dtype=self.dtype,
+                         stat_groups=self.bn_groups, name="bn1")(
             y, mid_mask, use_running_average=not train, update_gate=gate)
         y = nn.relu(y)
 
         y = DynConv2d(self.planes, 3, self.strides, self.dilation,
                       use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = DynBatchNorm(self.planes, dtype=self.dtype, name="bn2")(
+        y = DynBatchNorm(self.planes, dtype=self.dtype,
+                         stat_groups=self.bn_groups, name="bn2")(
             y, mid_mask, use_running_average=not train, update_gate=gate)
         y = nn.relu(y)
 
         y = DynConv2d(out_ch, 1, 1, use_bias=False, dtype=self.dtype,
                       name="conv3")(y)
-        y = DynBatchNorm(out_ch, dtype=self.dtype, name="bn3")(
+        y = DynBatchNorm(out_ch, dtype=self.dtype,
+                         stat_groups=self.bn_groups, name="bn3")(
             y, out_mask, use_running_average=not train, update_gate=gate)
 
         if self.has_downsample:
@@ -119,6 +125,7 @@ class DynBottleneck(nn.Module):
                                  dtype=self.dtype, name="downsample_conv")(
                 identity)
             identity = DynBatchNorm(out_ch, dtype=self.dtype,
+                                    stat_groups=self.bn_groups,
                                     name="downsample_bn")(
                 identity, out_mask, use_running_average=not train,
                 update_gate=gate)

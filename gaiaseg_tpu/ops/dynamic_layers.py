@@ -54,6 +54,9 @@ class DynConv2d(nn.Module):
     dilation: Union[int, Tuple[int, int]] = 1
     groups: int = 1
     use_bias: bool = False
+    padding: Optional[Union[int, Tuple[int, int]]] = None  # None = torch
+    # default dilation*(k-1)//2; explicit int/pair = symmetric pad (0 for
+    # patch embeds, matching torch Conv2d padding=0)
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     kernel_init: Callable = conv_kernel_init
@@ -67,8 +70,11 @@ class DynConv2d(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init,
             (kh, kw, in_ch // self.groups, self.features), self.param_dtype)
-        pad_h = dh * (kh - 1) // 2
-        pad_w = dw * (kw - 1) // 2
+        if self.padding is None:
+            pad_h = dh * (kh - 1) // 2
+            pad_w = dw * (kw - 1) // 2
+        else:
+            pad_h, pad_w = _pair(self.padding)
         # same-dtype operands; the TPU MXU accumulates bf16 in f32 natively
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
@@ -116,17 +122,23 @@ class DynBatchNorm(nn.Module):
 
     Running statistics update only on active channels (the reference's
     DynBN tracks stats for the active slice only; SURVEY.md §2.9). Under a
-    sharded batch this is sync-BN with a global group for free (see module
-    docstring); ``group_size`` is accepted for config parity — the canonical
-    config uses ``group_size=1`` (per-device stats), which we intentionally
-    replace with global sync: strictly lower-variance statistics.
+    sharded batch the default (``stat_groups=1``) is sync-BN with a global
+    group for free: strictly lower-variance statistics than the reference's
+    ``group_size=1`` per-device groups. Set ``stat_groups=G`` (G = data-mesh
+    shards) to reproduce the reference's per-device group semantics exactly:
+    stats are computed per contiguous batch group of B/G samples (groups
+    align with the batch sharding, so XLA keeps the reductions device-local
+    — no collective), and the running stats track the group average.
+    ``group_size`` itself is accepted for config parity only.
     """
 
     features: int
     momentum: float = 0.9      # decay of the OLD running stat (torch momentum=0.1)
     epsilon: float = 1e-5
     dtype: Dtype = jnp.bfloat16
-    group_size: int = 0        # 0/1 => see docstring; kept for config parity
+    group_size: int = 0        # accepted for config parity (see docstring)
+    stat_groups: int = 1       # >1: per-batch-group stats (reference
+                               # group_size=1 == stat_groups=n_data_shards)
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None, *,
@@ -143,26 +155,48 @@ class DynBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
 
+        g = self.stat_groups if not self.is_initializing() else 1
+        if g > 1 and x.shape[0] % g != 0:
+            g = 1
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
+            stat_mean = stat_var = None
+        elif g > 1:
+            per = x.shape[0] // g
+            xg = x.astype(jnp.float32).reshape((g, per) + x.shape[1:])
+            gaxes = tuple(range(1, xg.ndim - 1))
+            mean_g = jnp.mean(xg, axis=gaxes)                 # [G,C]
+            mean2_g = jnp.mean(jnp.square(xg), axis=gaxes)
+            var_g = jnp.maximum(mean2_g - jnp.square(mean_g), 0.0)
+            mean = jnp.repeat(mean_g, per, axis=0)            # [B,C]
+            var = jnp.repeat(var_g, per, axis=0)
+            n = float(per)
+            for s in x.shape[1:-1]:
+                n *= s
+            stat_mean = jnp.mean(mean_g, axis=0)
+            stat_var = jnp.mean(var_g, axis=0) * (n / max(n - 1.0, 1.0))
         else:
             xf = x.astype(jnp.float32)
             reduce_axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(xf, axis=reduce_axes)
             mean2 = jnp.mean(jnp.square(xf), axis=reduce_axes)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
-            if not self.is_initializing() and self.is_mutable_collection("batch_stats"):
-                n = 1.0
-                for a in reduce_axes:
-                    n = n * x.shape[a]
-                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
-                gate = jnp.ones((c,), bool) if mask is None else (mask > 0)
-                if update_gate is not None:
-                    gate = jnp.logical_and(gate, update_gate)
-                new_mean = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                new_var = self.momentum * ra_var.value + (1 - self.momentum) * unbiased
-                ra_mean.value = jnp.where(gate, new_mean, ra_mean.value)
-                ra_var.value = jnp.where(gate, new_var, ra_var.value)
+            n = 1.0
+            for a in reduce_axes:
+                n = n * x.shape[a]
+            stat_mean = mean
+            stat_var = var * (n / max(n - 1.0, 1.0))
+        if stat_mean is not None and not self.is_initializing() and \
+                self.is_mutable_collection("batch_stats"):
+            gate = jnp.ones((c,), bool) if mask is None else (mask > 0)
+            if update_gate is not None:
+                gate = jnp.logical_and(gate, update_gate)
+            new_mean = self.momentum * ra_mean.value \
+                + (1 - self.momentum) * stat_mean
+            new_var = self.momentum * ra_var.value \
+                + (1 - self.momentum) * stat_var
+            ra_mean.value = jnp.where(gate, new_mean, ra_mean.value)
+            ra_var.value = jnp.where(gate, new_var, ra_var.value)
 
         # fold normalization into per-channel scale'/bias' and apply in the
         # compute dtype: one fused multiply-add over activations (XLA merges
@@ -174,6 +208,10 @@ class DynBatchNorm(nn.Module):
             m = mask.astype(jnp.float32)
             fold_scale = fold_scale * m
             fold_bias = fold_bias * m
+        if fold_scale.ndim == 2:    # grouped: per-sample [B,C] stats
+            shp = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+            fold_scale = fold_scale.reshape(shp)
+            fold_bias = fold_bias.reshape(shp)
         y = x.astype(self.dtype) * fold_scale.astype(self.dtype) \
             + fold_bias.astype(self.dtype)
         return y

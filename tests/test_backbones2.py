@@ -153,10 +153,37 @@ def test_elastic_transformer_rel_pos():
                         "num_heads": jnp.asarray([2, 2, 2, 2]),
                         "ffn_channels": jnp.asarray([64, 64, 64, 64])}}
     v = bb.init(jax.random.PRNGKey(1), x, arch)
+    # both sides parameterized, like the reference (rel_pos_embed_k/_v,
+    # elastic_transformer.py:128-129)
     assert "rel_pos" in v["params"]["layer0"]["attn"]
+    assert "rel_pos_v" in v["params"]["layer0"]["attn"]
     outs = bb.apply(v, x, arch)
     assert outs[-1].shape == (1, 8, 8, 32)
     assert np.all(np.isfinite(np.asarray(outs[-1])))
+
+
+def test_rel_pos_value_contrib_matches_dense():
+    """Output-side rel-pos (reference elastic_transformer.py:173-179):
+    the bucketed-one-hot value path equals the naive
+    ``sum_j attn[i,j] * (T_r[dr]+T_c[dc])[i,j]`` computation."""
+    from gaiaseg_tpu.models.backbones.elastic_transformer import (
+        ElasticRelativePosition2D, relative_index_2d)
+    md = 2
+    rel_r, rel_c = relative_index_2d(3, 3, max_dist=md, with_cls=True)
+    rel_r, rel_c = jnp.asarray(rel_r), jnp.asarray(rel_c)
+    n = rel_r.shape[0]
+    mod = ElasticRelativePosition2D(max_dist=md, head_dim=8, dtype=F32)
+    attn = jax.nn.softmax(
+        jax.random.normal(jax.random.PRNGKey(2), (2, 3, n, n), F32), -1)
+    q = jax.random.normal(jax.random.PRNGKey(3), (2, n, 3, 8), F32)
+    v = mod.init(jax.random.PRNGKey(4), q, rel_r, rel_c)
+    out = mod.apply(v, attn, rel_r, rel_c, method="value_contrib")
+
+    tr = np.asarray(v["params"]["rel_rows"])
+    tc = np.asarray(v["params"]["rel_cols"])
+    emb = tr[np.asarray(rel_r)] + tc[np.asarray(rel_c)]   # [n,n,d]
+    ref = np.einsum("bhij,ijd->bihd", np.asarray(attn), emb)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
 
 
 def test_elastic_mixvit_segformer():

@@ -68,6 +68,40 @@ def test_distiller_train_step_and_frozen_teacher():
     assert labels["backbone_m"]["stem0"]["conv"]["kernel"] is False
 
 
+def test_teacher_checkpoint_load_from_torch_pth(tmp_path):
+    """A real torch BEiT .pth loads into the distiller's frozen teacher
+    (reference dynamic_distiller.py:195-200 teacher_ckpt path)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from test_vit_convert import TBeit, _rand
+    from gaiaseg_tpu.engine.train import load_teacher_checkpoint
+
+    model = build_segmentor(DISTILLER)
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3), F32)
+    gt = jnp.zeros((1, 32, 32), jnp.int32)
+    arch = encode_arch(model_max_arch(DISTILLER))
+    k = jax.random.PRNGKey(1)
+    variables = model.init({"params": k, "dropout": k}, img, gt, arch,
+                           method="forward_train")
+
+    tmodel = TBeit(dim=32, heads=2, depth=2, patch=8, grid=4).eval()
+    _rand(tmodel)
+    path = str(tmp_path / "teacher.pth")
+    torch.save({"state_dict": {"backbone." + k: v for k, v in
+                               tmodel.state_dict().items()}}, path)
+
+    new_params = load_teacher_checkpoint(path, variables["params"])
+    got = np.asarray(new_params["t_backbone"]["block0"]["qkv"]["kernel"])
+    want = tmodel.blocks[0].attn.qkv.weight.detach().numpy().T
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    # distiller forward still runs with the loaded teacher
+    (total, _), _ = model.apply(
+        {"params": new_params, "batch_stats": variables["batch_stats"]},
+        img, gt, arch, method="forward_train", mutable=["batch_stats"],
+        rngs={"dropout": k})
+    assert np.isfinite(float(total))
+
+
 def test_rel_pos_table_resample_shapes():
     from gaiaseg_tpu.engine.ckpt_surgery import resample_rel_pos_bias_table
     src, dst, heads = 7, 14, 3

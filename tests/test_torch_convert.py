@@ -75,6 +75,132 @@ ANCHOR = {"stem": {"width": 8},
           "body": {"width": [4, 8, 8, 8], "depth": [1, 1, 1, 1]}}
 
 
+class TorchConvModule(tnn.Module):
+    """mmcv ConvModule layout (.conv/.bn children) for key parity."""
+
+    def __init__(self, cin, cout, k):
+        super().__init__()
+        self.conv = tnn.Conv2d(cin, cout, k, padding=k // 2, bias=False)
+        self.bn = tnn.BatchNorm2d(cout)
+
+    def forward(self, x):
+        return torch.relu(self.bn(self.conv(x)))
+
+
+class TorchPSPHead(tnn.Module):
+    """Reference DynamicPSPHead key layout (dynamic_psp_head.py:123-141)."""
+
+    def __init__(self, cin, ch, scales, ncls):
+        super().__init__()
+        self.psp_modules = tnn.ModuleList(
+            tnn.Sequential(tnn.AdaptiveAvgPool2d(s),
+                           TorchConvModule(cin, ch, 1)) for s in scales)
+        self.bottleneck = TorchConvModule(cin + len(scales) * ch, ch, 3)
+        self.conv_seg = tnn.Conv2d(ch, ncls, 1)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        outs = [x]
+        for m in self.psp_modules:
+            outs.append(F.interpolate(m(x), x.shape[2:], mode="bilinear",
+                                      align_corners=False))
+        return self.conv_seg(self.bottleneck(torch.cat(outs, 1)))
+
+
+class TorchFCNHead(tnn.Module):
+    """Reference DynamicFCNHead key layout (dynamic_fcn_head.py:76-123)."""
+
+    def __init__(self, cin, ch, ncls):
+        super().__init__()
+        self.convs = tnn.Sequential(TorchConvModule(cin, ch, 3))
+        self.conv_cat = TorchConvModule(cin + ch, ch, 3)
+        self.conv_seg = tnn.Conv2d(ch, ncls, 1)
+
+    def forward(self, x):
+        y = self.convs(x)
+        return self.conv_seg(self.conv_cat(torch.cat([x, y], 1)))
+
+
+class TorchSegmentor(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.backbone = TorchMiniResNet()
+        self.decode_head = TorchPSPHead(32, 16, (1, 2), 7)
+        self.auxiliary_head = TorchFCNHead(32, 16, 7)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        feats = self.backbone(x)
+        logit = self.decode_head(feats[-1])
+        logit = F.interpolate(logit, x.shape[2:], mode="bilinear",
+                              align_corners=False)
+        return logit, self.auxiliary_head(feats[2])
+
+
+def _randomize(tmodel):
+    with torch.no_grad():
+        for p in tmodel.parameters():
+            p.copy_(torch.randn_like(p) * 0.2)
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(
+                    torch.rand_like(m.running_var) * 0.5 + 0.75)
+
+
+def test_torch_full_segmentor_conversion_parity():
+    """Whole-inference logit parity: a reference-layout torch PSPNet (R-mini
+    backbone + PSP decode head + FCN aux head) converted into the supernet
+    matches torch at the matching anchor — the mIoU-parity evidence for the
+    reference load path (tools/extract_subnet.py:91-94)."""
+    from gaiaseg_tpu.engine.torch_convert import (
+        segmentor_state_dict_to_variables)
+    from gaiaseg_tpu.models import build_segmentor, encode_arch, \
+        model_max_arch
+
+    tmodel = TorchSegmentor().eval()
+    _randomize(tmodel)
+
+    model_cfg = dict(
+        type="DynamicEncoderDecoder",
+        backbone=dict(BB),
+        decode_head=dict(type="DynamicPSPHead", num_classes=7, channels=16,
+                         pool_scales=(1, 2), in_index=-1, dropout_ratio=0.1,
+                         align_corners=False, dtype=F32),
+        auxiliary_head=dict(type="DynamicFCNHead", num_classes=7,
+                            channels=16, num_convs=1, concat_input=True,
+                            in_index=2, dropout_ratio=0.1, dtype=F32))
+    model = build_segmentor(model_cfg)
+    max_arch = model_max_arch(model_cfg)
+    arch = encode_arch(max_arch, {"backbone": ANCHOR})
+
+    k = jax.random.PRNGKey(0)
+    img0 = jnp.zeros((1, 32, 32, 3), F32)
+    variables = model.init({"params": k, "dropout": k}, img0,
+                           jnp.zeros((1, 32, 32), jnp.int32), arch,
+                           method="forward_train")
+    new_vars = segmentor_state_dict_to_variables(
+        tmodel.state_dict(), variables, model_cfg)
+
+    x = np.random.RandomState(1).randn(1, 128, 128, 3).astype(np.float32)
+    ours = model.apply(new_vars, jnp.asarray(x), arch)
+    bound = model.bind(new_vars)
+    feats = bound.extract_feat(jnp.asarray(x), arch)
+    ours_aux = bound.aux_heads[0](feats, train=False)
+
+    with torch.no_grad():
+        ref, ref_aux = tmodel(torch.from_numpy(x).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(
+        np.asarray(ours), ref.permute(0, 2, 3, 1).numpy(),
+        rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(ours_aux), ref_aux.permute(0, 2, 3, 1).numpy(),
+        rtol=1e-3, atol=1e-3)
+    # argmax (the mIoU-determining quantity) matches everywhere
+    assert (np.asarray(ours).argmax(-1) ==
+            ref.permute(0, 2, 3, 1).numpy().argmax(-1)).mean() > 0.999
+
+
 def test_torch_resnet_conversion_parity():
     tmodel = TorchMiniResNet().eval()
     with torch.no_grad():

@@ -22,6 +22,9 @@ def test_train_supernet_e2e(tmp_path):
     assert int(state.step) == 12
     losses = [h["loss"] for h in history["loss"]]
     assert all(np.isfinite(l) for l in losses)
+    # training must actually LEARN: a sign-flipped gradient (or a broken
+    # optimizer wiring) fails this, not just NaN checks
+    assert losses[-1] < losses[0], losses
     # cross-arch eval ran and produced metrics for both anchors
     assert history["eval"], "eval hook did not fire"
     metrics = history["eval"][-1]["metrics"]
@@ -35,6 +38,50 @@ def test_train_supernet_e2e(tmp_path):
     restored, meta = load_checkpoint(ckpt, state)
     assert int(restored.step) == 12
     assert meta["iter"] == 12
+
+
+def test_overfit_synthetic_miou_above_chance(tmp_path):
+    """Overfit proof: training the MAX anchor on the 16-image learnable
+    synthetic set drives loss well down and val mIoU above chance (1/5) —
+    the supernet-health check of SURVEY.md §4 item 2 with a quantitative
+    bar instead of a finite-loss smoke."""
+    cfg = Config.fromfile(CFG)
+    max_anchor = dict(cfg["val_sampler"]["anchors"][-1])
+    assert max_anchor["name"] == "MAX"
+    # tiny_synthetic's 32x32 crops leave stage4 at 1x1 (a constant
+    # per-image prediction — mIoU capped at the majority-class rate);
+    # point both heads at stage1 (8x8) so predictions are spatial
+    cfg["model"]["decode_head"]["in_index"] = 0
+    cfg["model"]["auxiliary_head"]["in_index"] = 0
+    cfg["train_sampler"] = dict(type="anchor", anchors=[max_anchor])
+    cfg["val_sampler"] = dict(type="anchor", anchors=[max_anchor])
+    cfg["evaluation"] = dict(interval=30)
+    cfg["checkpoint_config"] = dict(interval=1000)
+    cfg["log_config"] = dict(interval=1)   # BN stats refresh every step
+    model = build_segmentor(cfg["model"],
+                            test_cfg=cfg["model"].get("test_cfg"))
+    state, history = train_segmentor(model, cfg, work_dir=str(tmp_path),
+                                     seed=0, max_iters=30)
+    losses = [h["loss"] for h in history["loss"]]
+    # measured trajectory: 2.52 -> ~0.3 by iter 30, mIoU 0.854
+    assert losses[-1] < losses[0] * 0.5, losses
+    miou = history["eval"][-1]["metrics"]["MAX"]["mIoU"]
+    assert miou > 0.5, (miou, losses)
+
+
+def test_two_phase_workflow(tmp_path):
+    """workflow=[('train',N),('val',M)] runs M val-loss iterations every N
+    train iters (reference apis/train.py:186 two-phase runner)."""
+    cfg = Config.fromfile(CFG)
+    cfg["workflow"] = [("train", 4), ("val", 2)]
+    cfg["evaluation"] = dict(interval=1000)
+    cfg["checkpoint_config"] = dict(interval=1000)
+    model = build_segmentor(cfg["model"],
+                            test_cfg=cfg["model"].get("test_cfg"))
+    _, history = train_segmentor(model, cfg, work_dir=str(tmp_path),
+                                 seed=0, max_iters=8)
+    assert len(history["val_loss"]) == 2, history["val_loss"]
+    assert all(np.isfinite(h["loss"]) for h in history["val_loss"])
 
 
 def test_frozen_stages_optimizer_mask(tmp_path):

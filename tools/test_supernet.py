@@ -63,7 +63,10 @@ def main():
 
     dataset = build_dataset(cfg["data"]["val"])
     test_pipe = parse_test_pipeline(cfg["data"]["val"].get("pipeline"))
-    eval_step = make_eval_step(seg.model, seg.model.num_classes, args.flip)
+    # multi-scale TTA when the config's MultiScaleFlipAug declares
+    # img_ratios / a scale list (reference pspnet config :76-93)
+    eval_step = make_eval_step(seg.model, seg.model.num_classes, args.flip,
+                               ratios=test_pipe.img_ratios)
 
     os.makedirs(osp.join(args.work_dir, "test_supernet"), exist_ok=True)
     out_rows = []
