@@ -22,11 +22,15 @@ def parse_args():
     p.add_argument("--shard-id", type=int, default=0)
     p.add_argument("--num-shards", type=int, default=1)
     p.add_argument("--smoke-size", type=int, nargs=2, default=(64, 64))
+    from gaiaseg_tpu.utils.cli import add_device_arg
+    add_device_arg(p)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    from gaiaseg_tpu.utils.cli import apply_device
+    apply_device(args)
     logging.basicConfig(level=logging.INFO)
     import jax
     import jax.numpy as jnp

@@ -23,11 +23,15 @@ def parse_args():
     p.add_argument("--metric-tag", default="fastft_metric")
     p.add_argument("--max-iters", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=1)
+    from gaiaseg_tpu.utils.cli import add_device_arg
+    add_device_arg(p)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    from gaiaseg_tpu.utils.cli import apply_device
+    apply_device(args)
     logging.basicConfig(level=logging.INFO)
     from gaiaseg_tpu.archspace import (ModelSpace, build_model_sampler,
                                        build_sample_rule, fold_dict)

@@ -36,11 +36,15 @@ def parse_args():
     p.add_argument("--vmap", type=int, default=0, metavar="N",
                    help="score N subnets per compiled step via vmap over "
                         "the stacked arch pytree (population eval)")
+    from gaiaseg_tpu.utils.cli import add_device_arg
+    add_device_arg(p)
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    from gaiaseg_tpu.utils.cli import apply_device
+    apply_device(args)
     logging.basicConfig(level=logging.INFO)
     from gaiaseg_tpu.archspace import (ModelSpace, build_sample_rule)
     from gaiaseg_tpu.data.datasets import build_dataset
