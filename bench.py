@@ -13,9 +13,10 @@ infer); subnets eval/hr"):
   - slide img/s/chip: 1024x2048 slide inference (512x1024 crop, 341x683
     stride) at the R50 anchor, masked supernet with exact R50 bounds
     (production eval path) vs the extracted R50 subnet (serving cost).
-  - subnets_per_hour_fullval: chunked-vmap population eval
-    (engine/evaluate.py population_eval_steps) timed on-chip at whole-mode
-    1024x2048, extrapolated to a 500-image Cityscapes-val sweep per subnet
+  - subnets_per_hour_fullval: depth-bucketed chunked-vmap population eval
+    (engine/evaluate.py group_population + population_eval_steps) timed
+    on-chip at whole-mode 1024x2048, weighted by bucket population and
+    extrapolated to a 500-image Cityscapes-val sweep per subnet
     (reference test_supernet.py:268-292 per-subnet val-sweep semantics).
 """
 import json
@@ -58,7 +59,7 @@ def main():
     from gaiaseg_tpu.engine.optim import build_lr_schedule, build_optimizer
     from gaiaseg_tpu.models import (build_segmentor, encode_arch,
                                     model_max_arch)
-    from gaiaseg_tpu.models.arch_util import (covering_bounds, exact_bounds,
+    from gaiaseg_tpu.models.arch_util import (exact_bounds,
                                               make_depth_bucketer)
     from gaiaseg_tpu.utils import Config
     import __graft_entry__ as ge
@@ -103,7 +104,20 @@ def main():
             log(f"init train state (batch {batch})...")
             state = create_train_state(model, rng, img, archs[0], tx)
 
-            def step(i, _state=[state]):
+            # precompile every (variant x depth-bucket) program the timed
+            # mix touches — the persistent cache makes this fast on reruns,
+            # and the timed window then measures pure step time. NOTE: the
+            # train steps DONATE the state arg, so always thread the
+            # returned state forward.
+            log(f"precompiling {len(archs)} buckets x 2 variants...")
+            for j in range(len(archs)):
+                for fn in (train_step_fast, train_step):
+                    state, _ = fn(state, img, gt, archs[j], rng,
+                                  bounds=arch_bounds[j])
+
+            cur = [state]
+
+            def step(i, _state=cur):
                 fn = train_step if i % 10 == 0 else train_step_fast
                 j = i % len(archs)
                 _state[0], logs = fn(_state[0], img, gt, archs[j], rng,
@@ -111,15 +125,16 @@ def main():
                 return _state[0].step
 
             log("timing train steps (bounded, production mix)...")
-            # warmup covers the full sandwich cycle so every depth-bucket
-            # program is compiled before the timed loop
-            dt = _time_steps(step, len(archs) + 2, 16)
+            dt = _time_steps(step, 2, 16)
+            state = cur[0]
             train_ips = batch / dt / n_chips
             log(f"train: {dt * 1e3:.1f} ms/step -> {train_ips:.2f} img/s")
 
-            # K=8 multi-step dispatch (one sandwich cycle per device call,
-            # amortizes the relay RPC; unbounded — one program serves the
-            # stacked archs)
+            # K=8 bounded-cycle dispatch: ONE unrolled program runs the
+            # whole sandwich cycle with per-position depth bounds — no
+            # per-step RPC, no executable-switch cost (~20ms/step in the
+            # mix above), depth-proportional compute. This is the
+            # engine/train.py production path at steps_per_dispatch=8.
             k = len(archs)
             multi_step = make_multi_train_step(model, tx, k)
             arch_stack = jax.tree_util.tree_map(
@@ -127,14 +142,19 @@ def main():
             imgs_k = jnp.broadcast_to(img, (k,) + img.shape)
             gts_k = jnp.broadcast_to(gt, (k,) + gt.shape)
             rngs_k = jax.random.split(rng, k)
+            bseq = tuple(arch_bounds)
 
-            def step_k8(i, _state=[state]):
+            cur_k = [state]
+
+            def step_k8(i, _state=cur_k):
                 _state[0], _ = multi_step(_state[0], imgs_k, gts_k,
-                                          arch_stack, rngs_k)
+                                          arch_stack, rngs_k,
+                                          bounds_seq=bseq)
                 return _state[0].step
 
-            log("timing train steps (K=8 multi-step dispatch)...")
+            log("timing train steps (K=8 bounded-cycle dispatch)...")
             dt_k8 = _time_steps(step_k8, 1, 3) / k
+            state = cur_k[0]
             train_ips_k8 = batch / dt_k8 / n_chips
             log(f"train k8: {dt_k8 * 1e3:.1f} ms/step "
                 f"-> {train_ips_k8:.2f} img/s")
@@ -189,28 +209,41 @@ def main():
     dt_ext = _time_steps(lambda i: slide_sub(sub_vars, img1), 1, 4)
     ext_slide_ips = 1.0 / dt_ext / n_chips
 
-    # ---- population eval: chunked-vmap whole-mode val sweep ------------ #
-    # P archs share each val image in ONE compiled program (vmap over the
-    # stacked arch pytree); per-(arch,image) cost extrapolates to the
-    # 500-image Cityscapes val sweep every real subnet ranking pays.
+    # ---- population eval: depth-bucketed chunked-vmap val sweep -------- #
+    # The 64-draw population is grouped by depth bucket
+    # (engine/evaluate.py group_population); each group is scored by a
+    # vmap-8 program at ITS OWN static bounds, so a subnet pays its
+    # bucket's depth-proportional cost instead of MAX. The per-(arch,img)
+    # cost, weighted by group size, extrapolates to the 500-image
+    # Cityscapes val sweep every real subnet ranking pays.
+    from gaiaseg_tpu.engine.evaluate import group_population
     pop_metas = [train_sampler.sample() for _ in range(64)]
-    pop_bounds = covering_bounds(max_arch, pop_metas)
     gt1 = jax.random.randint(rng, (1, 1024, 2048), 0, 19)
     pop_per_arch_img = None
     chunk = 8
     while chunk >= 1:
         try:
             pop_step = population_eval_steps(model, model.num_classes)
-            stack = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs),
-                *[encode_arch(max_arch, m) for m in pop_metas[:chunk]])
-            log(f"timing population eval (vmap {chunk} archs, "
-                "1024x2048 whole-mode)...")
-            dt_pop = _time_steps(
-                lambda i: pop_step(variables, img1, gt1, stack,
-                                   bounds=pop_bounds), 1, 4)
-            pop_per_arch_img = dt_pop / chunk
-            log(f"population: {dt_pop * 1e3:.1f} ms/batch -> "
+            groups = group_population(pop_metas, bucketer)
+            weighted_ms = 0.0
+            for g_bounds, idxs in groups:
+                # pad the stack to a fixed vmap width: one program per
+                # bucket regardless of group size (padding cost is charged
+                # to the measurement -> conservative)
+                sel = (idxs * chunk)[:chunk] if len(idxs) < chunk \
+                    else idxs[:chunk]
+                stack = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs),
+                    *[encode_arch(max_arch, pop_metas[i]) for i in sel])
+                dt_g = _time_steps(
+                    lambda i: pop_step(variables, img1, gt1, stack,
+                                       bounds=g_bounds), 1, 2)
+                per_arch = dt_g / chunk
+                weighted_ms += per_arch * len(idxs)
+                log(f"population bucket {g_bounds.body_depth} x{len(idxs)}"
+                    f": {per_arch * 1e3:.2f} ms/(arch*img)")
+            pop_per_arch_img = weighted_ms / len(pop_metas)
+            log(f"population weighted: "
                 f"{pop_per_arch_img * 1e3:.2f} ms/(arch*img)")
             break
         except Exception as e:

@@ -133,31 +133,71 @@ def cross_arch_evaluate(model, variables, val_sampler, dataset, max_arch, *,
     return results
 
 
+def group_population(metas, bucketer):
+    """Bucket a population of sampler metas into depth groups:
+    ``[(ArchBounds, [original indices])]``, cheapest bucket first.
+
+    A masked population sweep at MAX bounds pays MAX-depth cost for every
+    subnet (the sandwich mix averages ~0.6x MAX total depth); grouping by
+    the train-side bucketer and sweeping each group under its own STATIC
+    bounds restores depth-proportional eval cost at a bounded number of
+    compiles — the eval-side analog of the bounded train step (reference
+    depth semantics: dynamic_res_layer.py:166-172, blocks beyond
+    depth_state never run)."""
+    groups: Dict = {}
+    for i, m in enumerate(metas):
+        groups.setdefault(bucketer(m), []).append(i)
+    return sorted(groups.items(),
+                  key=lambda kv: (sum(kv[0].body_depth or ()),
+                                  kv[0].body_depth or ()))
+
+
 def evaluate_population(model, variables, dataset, archs, *,
                         test_params: Optional[TestPipelineParams] = None,
-                        batch_size: int = 1, bounds=None) -> list:
-    """Score a whole population of subnets with ONE compiled graph: per val
-    batch, ``vmap`` over the stacked arch pytree accumulates a confusion
-    matrix per subnet (BASELINE.json stretch config: vmapped 256-subnet
-    population eval). Returns a list of metric dicts, one per arch."""
+                        batch_size: int = 1, bounds=None,
+                        metas=None, bucketer=None, chunk: int = 8) -> list:
+    """Score a whole population of subnets with a BOUNDED number of
+    compiled graphs: per val batch, ``vmap`` over a stacked arch pytree
+    accumulates a confusion matrix per subnet (BASELINE.json stretch
+    config: vmapped 256-subnet population eval).
+
+    With ``metas`` + ``bucketer`` the population is swept per depth bucket
+    (see :func:`group_population`) so each subnet pays its bucket's
+    depth-proportional cost instead of MAX; otherwise one program at
+    ``bounds`` (which must COVER every arch — covering_bounds(...)) serves
+    the whole stack. ``chunk`` caps the vmap width per dispatch.
+    Returns a list of metric dicts, one per arch, in input order."""
     test_params = test_params or TestPipelineParams()
     num_classes = model.num_classes
-    arch_stack = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *archs)
     step = population_eval_steps(model, num_classes)
-    # ``bounds`` must COVER every arch in the population (one program is
-    # vmapped over the whole stack); compute it with covering_bounds(...)
     mean = jnp.asarray(test_params.mean)
     std = jnp.asarray(test_params.std)
-    cms = jnp.zeros((len(archs), num_classes, num_classes), jnp.int32)
-    loader = BatchLoader(dataset, batch_size, shuffle=False, drop_last=False)
-    for batch in loader:
-        img = prepare_eval_batch(jnp.asarray(batch["img"]), mean, std)
-        gt = jnp.asarray(batch["gt"])
-        pad = batch.get("pad_count", 0)
-        if pad:
-            gt = gt.at[batch_size - pad:].set(255)
-        cms = cms + step(variables, img, gt, arch_stack, bounds=bounds)
+
+    if metas is not None and bucketer is not None:
+        plan = group_population(metas, bucketer)
+    else:
+        plan = [(bounds, list(range(len(archs))))]
+
+    cms = [None] * len(archs)
+    for g_bounds, idxs in plan:
+        for lo in range(0, len(idxs), chunk):
+            sel = idxs[lo:lo + chunk]
+            arch_stack = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *[archs[i] for i in sel])
+            acc = jnp.zeros((len(sel), num_classes, num_classes), jnp.int32)
+            loader = BatchLoader(dataset, batch_size, shuffle=False,
+                                 drop_last=False)
+            for batch in loader:
+                img = prepare_eval_batch(jnp.asarray(batch["img"]), mean,
+                                         std)
+                gt = jnp.asarray(batch["gt"])
+                pad = batch.get("pad_count", 0)
+                if pad:
+                    gt = gt.at[batch_size - pad:].set(255)
+                acc = acc + step(variables, img, gt, arch_stack,
+                                 bounds=g_bounds)
+            for k, i in enumerate(sel):
+                cms[i] = acc[k]
     results = []
     for i in range(len(archs)):
         ev = SegEvaluator(num_classes, getattr(dataset, "CLASSES", None))

@@ -116,17 +116,54 @@ def make_train_step(model, tx, update_stats: bool = True,
 
 
 def make_multi_train_step(model, tx, k: int):
-    """K train steps per device dispatch via lax.scan.
+    """K train steps per device dispatch.
 
     On relay-attached TPUs each dispatch pays a fixed RPC + per-buffer cost
-    (~75ms measured for this state pytree); scanning K steps inside one
-    program amortizes it K-fold. Batches/archs/rngs arrive stacked on a
-    leading K axis — one dispatch per full sandwich cycle (K=8) runs every
-    anchor + random subnet of the cycle.
+    (~75ms measured for this state pytree), and ALTERNATING executables
+    per step costs another ~20ms/step (measured: a 6-program bucket mix
+    averages 74.9ms/step while its per-program times average 48.1ms).
+    Running K steps inside one program removes both. Batches/archs/rngs
+    arrive stacked on a leading K axis — one dispatch per full sandwich
+    cycle (K=8) runs every anchor + random subnet of the cycle.
+
+    Two modes, selected by the STATIC ``bounds_seq``:
+    - ``None``: lax.scan of K full steps (loss logs + BN stat updates
+      every step; one shared MAX-cost program).
+    - tuple of K ArchBounds: UNROLLED cycle — step i executes only up to
+      ``bounds_seq[i]`` depth (the depth-proportional fast path), silent
+      (no loss/stat outputs: each costs ~2x, see make_train_step). jit
+      compiles one cycle program per distinct bucket sequence; the
+      sandwich anchors pin 5 of 8 positions, so the variant count stays
+      bounded by the bucketer's quantization.
     """
 
-    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=())
-    def multi_step(state: TrainState, imgs, gts, archs, rngs):
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("bounds_seq",))
+    def multi_step(state: TrainState, imgs, gts, archs, rngs,
+                   bounds_seq=None):
+        if bounds_seq is not None:
+            st = state
+            for i in range(k):
+                img, gt, rng = imgs[i], gts[i], rngs[i]
+                arch = jax.tree_util.tree_map(lambda x: x[i], archs)
+
+                def loss_fn(params, img=img, gt=gt, arch=arch, rng=rng,
+                            st=st, b=bounds_seq[i]):
+                    (total, logs), _ = model.apply(
+                        {"params": params, "batch_stats": st.batch_stats},
+                        img, gt, arch, False, b,
+                        method=model.forward_train, mutable=[],
+                        rngs={"dropout": rng})
+                    return total
+
+                grads = jax.grad(loss_fn)(st.params)
+                updates, opt_state = tx.update(grads, st.opt_state,
+                                               st.params)
+                params = optax.apply_updates(st.params, updates)
+                st = st.replace(step=st.step + 1, params=params,
+                                opt_state=opt_state)
+            return st, {}
+
         def body(st, xs):
             img, gt, arch, rng = xs
 
@@ -420,21 +457,42 @@ def train_segmentor(model, cfg, *, work_dir: str,
     it = start_step
     while it < max_iters:
         if k_disp > 1 and it + k_disp <= max_iters:
-            # K steps per dispatch: fixed RPC/buffer overhead amortized
+            # K steps per dispatch: fixed RPC/buffer + executable-switch
+            # overhead amortized. With a bucketer the cycle is UNROLLED
+            # with per-position depth bounds (silent); a full logging/BN
+            # step then runs whenever a log boundary is crossed below.
             batches = [next_aug_batch() for _ in range(k_disp)]
-            archs = [next_arch()[0] for _ in range(k_disp)]  # bounds unused:
-            # the K-step scan shares one program across the stacked archs
+            pairs = [next_arch() for _ in range(k_disp)]
+            archs = [a for a, _ in pairs]
+            bseq = tuple(b for _, b in pairs)
             rng, k_drop = jax.random.split(rng)
             state, logs_k = multi_step(
                 state,
                 jnp.stack([b["img"] for b in batches]),
                 jnp.stack([b["gt"] for b in batches]),
                 jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *archs),
-                jax.random.split(k_drop, k_disp))
-            logs = {k: v[-1] for k, v in logs_k.items()}
-            loss_acc += float(jnp.mean(logs_k["decode.loss_seg"]))
-            n_acc += 1
+                jax.random.split(k_drop, k_disp),
+                bounds_seq=bseq if all(b is not None for b in bseq)
+                else None)
+            if logs_k:
+                logs = {k: v[-1] for k, v in logs_k.items()}
+                loss_acc += float(jnp.mean(logs_k["decode.loss_seg"]))
+                n_acc += 1
             step_inc = k_disp
+            if (it + k_disp) % log_interval < k_disp:
+                # crossing a log boundary: one full step refreshes BN
+                # running stats and yields the loss for the log line
+                sharded = next_aug_batch()
+                arch, _ = next_arch()
+                rng, k_drop = jax.random.split(rng)
+                # bounds=None: ONE full program (MAX bounds) serves every
+                # arch here — numerics are identical and it avoids a full-
+                # variant compile per bucket for a once-per-log-line step
+                state, logs = train_step(state, sharded["img"],
+                                         sharded["gt"], arch, k_drop)
+                loss_acc += float(logs["decode.loss_seg"])
+                n_acc += 1
+                step_inc += 1
         else:
             sharded = next_aug_batch()
             arch, bounds = next_arch()

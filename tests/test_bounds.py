@@ -147,3 +147,46 @@ def test_bounded_population_eval_matches(setup):
     cm1 = step(variables, img, gt, stack,
                bounds=covering_bounds(max_arch, metas))
     np.testing.assert_array_equal(np.asarray(cm0), np.asarray(cm1))
+
+
+def test_bounded_cycle_matches_sequential_fast_steps(setup):
+    """make_multi_train_step(bounds_seq=...) — the one-dispatch unrolled
+    sandwich cycle — produces exactly the same final state as K sequential
+    silent fast steps with the same per-step bounds."""
+    from gaiaseg_tpu.engine import (create_train_state,
+                                    make_multi_train_step, make_train_step)
+    from gaiaseg_tpu.engine.optim import build_lr_schedule, build_optimizer
+
+    model, max_arch, variables, img, gt, arch = setup
+    metas = [SUB,
+             {"arch.backbone.body.depth": [2, 1, 4, 2]},
+             {"arch.backbone.body.depth": [1, 1, 2, 1]}]
+    archs = [encode_arch(max_arch, m) for m in metas]
+    bseq = tuple(exact_bounds(max_arch, m) for m in metas)
+    k = len(metas)
+
+    sched = build_lr_schedule(dict(policy="poly", power=0.9), 0.01, 100)
+    tx = build_optimizer(dict(type="SGD", lr=0.01, momentum=0.9),
+                         dict(grad_clip=dict(max_norm=20)), sched)
+    rng = jax.random.PRNGKey(0)
+    imgs = jnp.stack([img] * k)
+    gts = jnp.stack([gt] * k)
+    rngs = jax.random.split(jax.random.PRNGKey(4), k)
+    arch_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *archs)
+
+    s_seq = create_train_state(model, rng, img, archs[0], tx)
+    fast = make_train_step(model, tx, update_stats=False, with_logs=False)
+    for i in range(k):
+        s_seq, _ = fast(s_seq, imgs[i], gts[i], archs[i], rngs[i],
+                        bounds=bseq[i])
+
+    s_cyc = create_train_state(model, rng, img, archs[0], tx)
+    cycle = make_multi_train_step(model, tx, k)
+    s_cyc, logs = cycle(s_cyc, imgs, gts, arch_stack, rngs, bounds_seq=bseq)
+
+    assert logs == {}
+    assert int(s_cyc.step) == int(s_seq.step) == k
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
+        s_seq.params, s_cyc.params)

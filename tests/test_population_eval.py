@@ -49,6 +49,31 @@ def test_population_matches_sequential():
         assert abs(seq["aAcc"] - pop_res["aAcc"]) < 1e-9
 
 
+def test_population_bucketed_matches_sequential():
+    """Depth-bucketed population sweep (per-group STATIC bounds) returns
+    the same metrics, in input order, as the sequential eval — the
+    correctness contract behind the bounded subnets/hr path."""
+    from gaiaseg_tpu.models.arch_util import exact_bounds
+
+    model = build_segmentor(MODEL)
+    max_arch = model_max_arch(MODEL)
+    img = jnp.zeros((1, 32, 32, 3), jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), img,
+                           encode_arch(max_arch))
+    ds = SyntheticDataset(length=4, size=(32, 32), num_classes=4, cells=2)
+
+    archs = [encode_arch(max_arch, m) for m in METAS]
+    pop = evaluate_population(
+        model, variables, ds, archs, batch_size=2, metas=METAS,
+        bucketer=lambda m: exact_bounds(max_arch, m), chunk=2)
+    assert len(pop) == 3
+    for meta, pop_res in zip(METAS, pop):
+        seq = evaluate(model, variables, ds, encode_arch(max_arch, meta),
+                       batch_size=2)
+        assert abs(seq["mIoU"] - pop_res["mIoU"]) < 1e-9
+        assert abs(seq["aAcc"] - pop_res["aAcc"]) < 1e-9
+
+
 def test_bn_calibration():
     """reset + re-estimate running stats for a subnet; eval still works and
     stats actually moved."""

@@ -117,3 +117,25 @@ def test_frozen_stages_optimizer_mask(tmp_path):
     assert delta(bb_new["stem0"], bb_old["stem0"]) == 0.0
     assert delta(bb_new["layer1"], bb_old["layer1"]) == 0.0
     assert delta(bb_new["layer3"], bb_old["layer3"]) > 0.0
+
+
+def test_train_bounded_cycle_dispatch(tmp_path):
+    """steps_per_dispatch=4 drives the bounded unrolled-cycle path (one
+    jitted program per distinct bucket sequence, silent steps + a full
+    logging/BN step at each log boundary); training still learns."""
+    cfg = Config.fromfile(CFG)
+    cfg["steps_per_dispatch"] = 4
+    cfg["evaluation"] = dict(interval=1000)
+    cfg["checkpoint_config"] = dict(interval=1000)
+    cfg["log_config"] = dict(interval=4)
+    model = build_segmentor(cfg["model"],
+                            test_cfg=cfg["model"].get("test_cfg"))
+    state, history = train_segmentor(model, cfg, work_dir=str(tmp_path),
+                                     seed=0, max_iters=12)
+    assert int(state.step) >= 12
+    losses = [h["loss"] for h in history["loss"]]
+    assert losses and all(np.isfinite(l) for l in losses)
+    # each logged loss here is ONE full step on a random arch (the silent
+    # cycle emits no losses), so monotonicity is not asserted — learning is
+    # proven by test_overfit_synthetic_miou_above_chance; this test pins the
+    # cycle-dispatch integration (state advances, losses finite, logs flow)

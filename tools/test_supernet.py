@@ -76,13 +76,22 @@ def main():
     out_rows = []
     if args.vmap and args.vmap > 1:
         from gaiaseg_tpu.engine.evaluate import evaluate_population
+        # depth-bucketed sweep when a sampler is available: each subnet
+        # pays its bucket's depth-proportional cost instead of MAX
+        bucketer = None
+        if cfg.get("train_sampler"):
+            from gaiaseg_tpu.archspace import build_model_sampler
+            from gaiaseg_tpu.models.arch_util import make_depth_bucketer
+            bucketer = make_depth_bucketer(
+                build_model_sampler(cfg["train_sampler"]), seg.max_arch)
         for lo in range(0, len(metas), args.vmap):
             chunk = metas[lo:lo + args.vmap]
             archs = [encode_arch(seg.max_arch, m) for m in chunk]
             t0 = time.time()
             results = evaluate_population(
                 seg.model, seg.variables, dataset, archs,
-                test_params=test_pipe, batch_size=args.batch_size)
+                test_params=test_pipe, batch_size=args.batch_size,
+                metas=chunk if bucketer else None, bucketer=bucketer)
             dt = time.time() - t0
             for m, r in zip(chunk, results):
                 m.setdefault("metric", {})[args.metric_tag] = r
