@@ -7,9 +7,10 @@ Prints ONE JSON line:
 Measures (BASELINE.json metric "512x512 images/sec/chip (train + slide
 infer); subnets eval/hr"):
   - train img/s/chip: flagship supernet (ar50to101v2 + PSP head) train step
-    at 512x512 crops, sandwich-sampled archs with depth-proportional
-    ArchBounds bucketing (the production path of engine/train.py) plus the
-    K=8 multi-step-dispatch variant; the headline is the faster of the two.
+    at 512x512 crops, sandwich-sampled archs. Headline = the K=8
+    bounded-cycle dispatch (one unrolled program per sandwich cycle with
+    per-position depth bounds — engine/train.py's steps_per_dispatch path);
+    the MAX-masked single-program step is reported for round-1 parity.
   - slide img/s/chip: 1024x2048 slide inference (512x1024 crop, 341x683
     stride) at the R50 anchor, masked supernet with exact R50 bounds
     (production eval path) vs the extracted R50 subnet (serving cost).
@@ -104,37 +105,32 @@ def main():
             log(f"init train state (batch {batch})...")
             state = create_train_state(model, rng, img, archs[0], tx)
 
-            # precompile every (variant x depth-bucket) program the timed
-            # mix touches — the persistent cache makes this fast on reruns,
-            # and the timed window then measures pure step time. NOTE: the
-            # train steps DONATE the state arg, so always thread the
-            # returned state forward.
-            log(f"precompiling {len(archs)} buckets x 2 variants...")
-            for j in range(len(archs)):
-                for fn in (train_step_fast, train_step):
-                    state, _ = fn(state, img, gt, archs[j], rng,
-                                  bounds=arch_bounds[j])
-
+            # single-program MAX-masked fast step: the round-1 baseline.
+            # (A per-step bucket MIX is deliberately NOT timed: alternating
+            # compiled programs makes the relay re-upload executables —
+            # measured 74-91 ms/step with multi-minute stalls — while each
+            # program alone averages 48 ms. Production batches a cycle
+            # into one program below.) NOTE: train steps DONATE the state
+            # arg — always thread the returned state forward.
             cur = [state]
 
             def step(i, _state=cur):
-                fn = train_step if i % 10 == 0 else train_step_fast
                 j = i % len(archs)
-                _state[0], logs = fn(_state[0], img, gt, archs[j], rng,
-                                     bounds=arch_bounds[j])
+                _state[0], _ = train_step_fast(_state[0], img, gt, archs[j],
+                                               rng)
                 return _state[0].step
 
-            log("timing train steps (bounded, production mix)...")
-            dt = _time_steps(step, 2, 16)
+            log("timing train steps (MAX-masked single program)...")
+            dt = _time_steps(step, 2, 8)
             state = cur[0]
             train_ips = batch / dt / n_chips
             log(f"train: {dt * 1e3:.1f} ms/step -> {train_ips:.2f} img/s")
 
             # K=8 bounded-cycle dispatch: ONE unrolled program runs the
             # whole sandwich cycle with per-position depth bounds — no
-            # per-step RPC, no executable-switch cost (~20ms/step in the
-            # mix above), depth-proportional compute. This is the
-            # engine/train.py production path at steps_per_dispatch=8.
+            # per-step RPC, no executable-switch cost, depth-proportional
+            # compute. This is the engine/train.py production path at
+            # steps_per_dispatch=8.
             k = len(archs)
             multi_step = make_multi_train_step(model, tx, k)
             arch_stack = jax.tree_util.tree_map(
@@ -218,7 +214,9 @@ def main():
     # Cityscapes val sweep every real subnet ranking pays.
     from gaiaseg_tpu.engine.evaluate import group_population
     pop_metas = [train_sampler.sample() for _ in range(64)]
-    gt1 = jax.random.randint(rng, (1, 1024, 2048), 0, 19)
+    n_img = 2  # val images per dispatch: batching amortizes ~20%
+    img_p = jnp.concatenate([img1] * n_img)
+    gt_p = jax.random.randint(rng, (n_img, 1024, 2048), 0, 19)
     pop_per_arch_img = None
     chunk = 8
     while chunk >= 1:
@@ -236,9 +234,9 @@ def main():
                     lambda *xs: jnp.stack(xs),
                     *[encode_arch(max_arch, pop_metas[i]) for i in sel])
                 dt_g = _time_steps(
-                    lambda i: pop_step(variables, img1, gt1, stack,
+                    lambda i: pop_step(variables, img_p, gt_p, stack,
                                        bounds=g_bounds), 1, 2)
-                per_arch = dt_g / chunk
+                per_arch = dt_g / (chunk * n_img)
                 weighted_ms += per_arch * len(idxs)
                 log(f"population bucket {g_bounds.body_depth} x{len(idxs)}"
                     f": {per_arch * 1e3:.2f} ms/(arch*img)")
@@ -268,9 +266,9 @@ def main():
         "vs_baseline": None,
         "extras": {
             "train_batch": batch,
-            "train_img_per_sec_bounded_1step": round(float(train_ips), 3)
+            "train_img_per_sec_max_masked": round(float(train_ips), 3)
                 if train_ips else None,
-            "train_img_per_sec_k8_dispatch": round(float(train_ips_k8), 3)
+            "train_img_per_sec_bounded_cycle": round(float(train_ips_k8), 3)
                 if train_ips_k8 else None,
             "slide_1024x2048_img_per_sec_per_chip": round(float(slide_ips), 4),
             "extracted_r50_slide_img_per_sec_per_chip":

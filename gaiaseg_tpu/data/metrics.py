@@ -21,15 +21,26 @@ Array = jnp.ndarray
 
 @functools.partial(jax.jit, static_argnames=("num_classes",))
 def confusion_matrix(pred: Array, label: Array, num_classes: int) -> Array:
-    """[C, C] matrix (rows = gt, cols = pred); 255-ignored pixels dropped."""
+    """[C, C] matrix (rows = gt, cols = pred); 255-ignored pixels dropped.
+
+    TPU shape: scatter-add (``bincount``) serializes on TPU — measured
+    16.9ms for one 1024x2048 image, as costly as the whole R50 forward.
+    The one-hot matmul form rides the MXU instead (~1ms): 0/1 f32
+    operands are exact and f32 accumulation is exact for per-image counts
+    (< 2^24 pixels); images are reduced separately then summed in int32 so
+    batching never overflows the exact-integer range. (f32 operands, not
+    bf16: the CPU backend cannot execute BF16xBF16=F32 dots, and the
+    traffic difference is ~0.2ms.)"""
     valid = label != 255
     gt = jnp.where(valid, label, num_classes).astype(jnp.int32)
     pr = jnp.clip(pred, 0, num_classes - 1).astype(jnp.int32)
-    idx = gt * num_classes + pr
-    counts = jnp.bincount(idx.reshape(-1),
-                          length=(num_classes + 1) * num_classes)
-    return counts[: num_classes * num_classes].reshape(num_classes,
-                                                       num_classes)
+    n = pred.shape[0] if pred.ndim == 3 else 1
+    oh_g = jax.nn.one_hot(gt.reshape(n, -1), num_classes + 1,
+                          dtype=jnp.float32)
+    oh_p = jax.nn.one_hot(pr.reshape(n, -1), num_classes,
+                          dtype=jnp.float32)
+    cm = jnp.einsum("bng,bnp->bgp", oh_g, oh_p)
+    return cm.astype(jnp.int32).sum(0)[:num_classes]
 
 
 def iou_from_confusion(cm: np.ndarray) -> Dict[str, np.ndarray]:

@@ -20,6 +20,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ...ops.resize import resize_bilinear
@@ -163,22 +164,23 @@ class DynamicEncoderDecoder(nn.Module):
         num_classes = logits.shape[-1]
         logits = logits.reshape(len(origins), n, h_crop, w_crop, num_classes)
 
-        preds = jnp.zeros((n, h, w, num_classes), jnp.float32)
-        count = jnp.zeros((1, h, w, 1), jnp.float32)
-        ones = jnp.ones((1, h_crop, w_crop, 1), jnp.float32)
+        # overlap-accumulate via STATIC zero-pads + sum: the grid origins
+        # are Python ints, so each window pads to canvas position at trace
+        # time and XLA fuses the adds — the dynamic_update_slice
+        # read-modify-write loop this replaces cost ~20ms/img on v5e
+        # (unaligned strides defeat the 8x128 tiling), >half the slide
+        # step. The overlap count is a trace-time numpy constant.
+        preds = None
         for k, (y0, x0) in enumerate(origins):
-            preds = jax.lax.dynamic_update_slice(
-                preds,
-                jax.lax.dynamic_slice(preds, (0, y0, x0, 0),
-                                      (n, h_crop, w_crop, num_classes))
-                + logits[k].astype(jnp.float32),
-                (0, y0, x0, 0))
-            count = jax.lax.dynamic_update_slice(
-                count,
-                jax.lax.dynamic_slice(count, (0, y0, x0, 0),
-                                      (1, h_crop, w_crop, 1)) + ones,
-                (0, y0, x0, 0))
-        return preds / count
+            # pad in the compute dtype (halves the pad traffic); the add
+            # upcasts, so accumulation stays f32-exact
+            p = jnp.pad(logits[k], ((0, 0), (y0, h - h_crop - y0),
+                                    (x0, w - w_crop - x0), (0, 0)))
+            preds = p.astype(jnp.float32) if preds is None else preds + p
+        count = np.zeros((1, h, w, 1), np.float32)
+        for (y0, x0) in origins:
+            count[:, y0:y0 + h_crop, x0:x0 + w_crop] += 1.0
+        return preds / jnp.asarray(count)
 
     def inference(self, img: Array, arch: Dict[str, Any],
                   flip: bool = False, bounds=None) -> Array:

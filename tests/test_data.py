@@ -138,3 +138,18 @@ def test_fused_resize_crop_matches_resize_then_crop():
     assert np.all(np.asarray(valid))
     # label: nearest sampling stays within the original label set
     assert set(np.unique(np.asarray(out_lab))) <= set(range(5))
+
+
+def test_confusion_matrix_matches_numpy_bincount():
+    """MXU one-hot-matmul CM == numpy bincount on random batched data with
+    ignore pixels (exactness proof for the scatter-free formulation)."""
+    rng = np.random.RandomState(0)
+    pred = rng.randint(0, 5, size=(3, 17, 23))
+    label = rng.randint(0, 6, size=(3, 17, 23))
+    label[label == 5] = 255
+    cm = np.asarray(confusion_matrix(jnp.asarray(pred), jnp.asarray(label),
+                                     5))
+    v = label != 255
+    ref = np.bincount((label[v] * 5 + pred[v]).ravel(),
+                      minlength=25).reshape(5, 5)
+    np.testing.assert_array_equal(cm, ref)
