@@ -80,6 +80,14 @@ def parse_test_pipeline(pipeline: Sequence[Dict[str, Any]]
                     scales = [tuple(s) for s in scale]
                     base = max(scales, key=lambda s: s[0] * s[1])
                     rs = tuple(round(s[0] / base[0], 4) for s in scales)
+                    for s, r in zip(scales, rs):
+                        if abs(s[1] / base[1] - r) > 0.01:
+                            import logging
+                            logging.getLogger("gaiaseg_tpu").warning(
+                                "MultiScaleFlipAug scale %s is not "
+                                "proportional to base %s; TTA uses the "
+                                "WIDTH ratio %.3g for both dims", s, base,
+                                r)
                     if len(rs) > 1:
                         p.img_ratios = rs
                     scale = base

@@ -147,9 +147,12 @@ def group_population(metas, bucketer):
     groups: Dict = {}
     for i, m in enumerate(metas):
         groups.setdefault(bucketer(m), []).append(i)
+    # a no-bound bucket (body_depth=None) runs at full MAX cost: sort it
+    # LAST, not first (sum(()) would read as cheapest)
     return sorted(groups.items(),
-                  key=lambda kv: (sum(kv[0].body_depth or ()),
-                                  kv[0].body_depth or ()))
+                  key=lambda kv: (float("inf"), ())
+                  if kv[0].body_depth is None
+                  else (float(sum(kv[0].body_depth)), kv[0].body_depth))
 
 
 def evaluate_population(model, variables, dataset, archs, *,
@@ -180,22 +183,28 @@ def evaluate_population(model, variables, dataset, archs, *,
 
     cms = [None] * len(archs)
     for g_bounds, idxs in plan:
-        for lo in range(0, len(idxs), chunk):
-            sel = idxs[lo:lo + chunk]
-            arch_stack = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *[archs[i] for i in sel])
-            acc = jnp.zeros((len(sel), num_classes, num_classes), jnp.int32)
-            loader = BatchLoader(dataset, batch_size, shuffle=False,
-                                 drop_last=False)
-            for batch in loader:
-                img = prepare_eval_batch(jnp.asarray(batch["img"]), mean,
-                                         std)
-                gt = jnp.asarray(batch["gt"])
-                pad = batch.get("pad_count", 0)
-                if pad:
-                    gt = gt.at[batch_size - pad:].set(255)
-                acc = acc + step(variables, img, gt, arch_stack,
-                                 bounds=g_bounds)
+        # ONE dataset pass per bucket: every batch is loaded/normalized
+        # once and fed to all of the bucket's arch chunks (same compiled
+        # program throughout the bucket — no executable switching, no
+        # len(archs)/chunk-fold host-IO multiplication)
+        sels = [idxs[lo:lo + chunk] for lo in range(0, len(idxs), chunk)]
+        stacks = [jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[archs[i] for i in sel])
+            for sel in sels]
+        accs = [jnp.zeros((len(sel), num_classes, num_classes), jnp.int32)
+                for sel in sels]
+        loader = BatchLoader(dataset, batch_size, shuffle=False,
+                             drop_last=False)
+        for batch in loader:
+            img = prepare_eval_batch(jnp.asarray(batch["img"]), mean, std)
+            gt = jnp.asarray(batch["gt"])
+            pad = batch.get("pad_count", 0)
+            if pad:
+                gt = gt.at[batch_size - pad:].set(255)
+            for ci, stack in enumerate(stacks):
+                accs[ci] = accs[ci] + step(variables, img, gt, stack,
+                                           bounds=g_bounds)
+        for sel, acc in zip(sels, accs):
             for k, i in enumerate(sel):
                 cms[i] = acc[k]
     results = []

@@ -33,8 +33,8 @@ from ..data.datasets import build_dataset
 from ..data.loader import BatchLoader
 from ..data.pipeline_cfg import parse_test_pipeline, parse_train_pipeline
 from ..data.transforms import augment_batch
-from ..models.arch_util import (encode_arch, make_depth_bucketer,
-                                model_max_arch)
+from ..models.arch_util import (ArchBounds, encode_arch,
+                                make_depth_bucketer, model_max_arch)
 from ..parallel.mesh import (broadcast_object, make_mesh, replicate,
                              shard_batch)
 from .checkpoint import (latest_checkpoint, load_checkpoint, save_checkpoint,
@@ -400,6 +400,13 @@ def train_segmentor(model, cfg, *, work_dir: str,
                                     shard_id=jax.process_index(),
                                     num_shards=jax.process_count()))
 
+        # independent sampler: val-phase draws must NOT consume train
+        # sampler draws, or the 8-long sandwich cycle rotates relative to
+        # the K-dispatch window and every rotation becomes a fresh
+        # bounds_seq compile of the unrolled cycle program
+        val_phase_sampler = build_model_sampler(cfg["train_sampler"]) \
+            if cfg.get("train_sampler") else None
+
         def run_val_phase(state, it):
             from ..data.transforms import prepare_eval_batch
             nonlocal rng
@@ -409,7 +416,9 @@ def train_segmentor(model, cfg, *, work_dir: str,
                 vimg = prepare_eval_batch(jnp.asarray(vb["img"]),
                                           mean_v, std_v)
                 vgt = jnp.asarray(vb["gt"])
-                varch, _ = next_arch()
+                varch = encode_arch(
+                    max_arch, broadcast_object(val_phase_sampler.sample())
+                ) if val_phase_sampler is not None else encode_arch(max_arch)
                 rng, k_v = jax.random.split(rng)
                 vlogs = val_loss_step(state, vimg, vgt, varch, k_v)
                 v_losses.append(float(vlogs["decode.loss_seg"]))
@@ -447,14 +456,17 @@ def train_segmentor(model, cfg, *, work_dir: str,
                             flip_prob=pipe.flip_prob)
         return shard_batch(aug, mesh)
 
-    def next_arch():
+    def next_arch(with_meta: bool = False):
         if train_sampler is not None:
             meta = broadcast_object(train_sampler.sample())
             bounds = bucketer(meta) if bucketer is not None else None
-            return encode_arch(max_arch, meta), bounds
-        return encode_arch(max_arch), None
+            arch = encode_arch(max_arch, meta)
+            return (arch, bounds, meta) if with_meta else (arch, bounds)
+        arch = encode_arch(max_arch)
+        return (arch, None, {}) if with_meta else (arch, None)
 
     it = start_step
+    logs: Dict[str, Any] = {}
     while it < max_iters:
         if k_disp > 1 and it + k_disp <= max_iters:
             # K steps per dispatch: fixed RPC/buffer + executable-switch
@@ -462,9 +474,31 @@ def train_segmentor(model, cfg, *, work_dir: str,
             # with per-position depth bounds (silent); a full logging/BN
             # step then runs whenever a log boundary is crossed below.
             batches = [next_aug_batch() for _ in range(k_disp)]
-            pairs = [next_arch() for _ in range(k_disp)]
-            archs = [a for a, _ in pairs]
-            bseq = tuple(b for _, b in pairs)
+            triples = [next_arch(with_meta=True) for _ in range(k_disp)]
+            archs = [a for a, _, _ in triples]
+            # named (anchor) positions keep their exact bounds; the random
+            # positions share ONE covering bucket — otherwise nearly every
+            # cycle draws a new bounds_seq and each distinct sequence is a
+            # fresh multi-minute compile of the unrolled cycle program.
+            # Variant count collapses to ~#quantization levels.
+            rnd = [b for _, b, m in triples
+                   if b is not None and b.body_depth is not None
+                   and not m.get("name")]
+            cover = None
+            if rnd:
+                cover = ArchBounds(body_depth=tuple(
+                    max(ds) for ds in zip(*[b.body_depth for b in rnd])))
+                if bucketer is not None:
+                    # snap to the bucketer's candidate set so the variant
+                    # count is bounded by its quantization, not by
+                    # elementwise-max combinations
+                    cover = bucketer({"arch.backbone.body.depth":
+                                      list(cover.body_depth)})
+            bseq = tuple(
+                (cover if (cover is not None and not m.get("name")
+                           and b is not None and b.body_depth is not None)
+                 else b)
+                for _, b, m in triples)
             rng, k_drop = jax.random.split(rng)
             state, logs_k = multi_step(
                 state,
@@ -481,15 +515,18 @@ def train_segmentor(model, cfg, *, work_dir: str,
             step_inc = k_disp
             if (it + k_disp) % log_interval < k_disp:
                 # crossing a log boundary: one full step refreshes BN
-                # running stats and yields the loss for the log line
+                # running stats and yields the loss for the log line.
+                # Reuses the cycle's LAST arch instead of drawing a new
+                # one — an extra draw would rotate the sandwich-cycle
+                # phase and every rotation is a fresh bounds_seq compile
+                # of the unrolled cycle program.
                 sharded = next_aug_batch()
-                arch, _ = next_arch()
                 rng, k_drop = jax.random.split(rng)
                 # bounds=None: ONE full program (MAX bounds) serves every
                 # arch here — numerics are identical and it avoids a full-
                 # variant compile per bucket for a once-per-log-line step
                 state, logs = train_step(state, sharded["img"],
-                                         sharded["gt"], arch, k_drop)
+                                         sharded["gt"], archs[-1], k_drop)
                 loss_acc += float(logs["decode.loss_seg"])
                 n_acc += 1
                 step_inc += 1

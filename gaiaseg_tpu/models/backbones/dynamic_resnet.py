@@ -165,6 +165,10 @@ class DynamicResNet(nn.Module):
     def out_channels(self) -> Tuple[int, ...]:
         return tuple(self.body_width[i] * 4 for i in self.out_indices)
 
+    # consumed by DynamicEncoderDecoder.extract_feat: backbones without
+    # this flag receive no ``bounds`` kwarg (bounds degrade to a no-op)
+    supports_bounds = True
+
     @nn.compact
     def __call__(self, x: Array, arch: Dict[str, Any], *,
                  train: bool = False, bounds=None):

@@ -77,9 +77,14 @@ class DynamicEncoderDecoder(nn.Module):
     def extract_feat(self, img: Array, arch: Dict[str, Any], *,
                      train: bool = False, bounds=None):
         # ``bounds``: STATIC ArchBounds for depth-proportional execution
-        # (arch_util.ArchBounds); only passed through when set so backbones
-        # without bound support keep their signatures.
-        if bounds is not None:
+        # (arch_util.ArchBounds). Forwarded ONLY to backbones that declare
+        # ``supports_bounds`` (DynamicResNet today); for every other
+        # backbone bounds degrade to a no-op (MAX execution, identical
+        # numerics) instead of a TypeError — the train loop builds the
+        # bucketer unconditionally.
+        if bounds is not None and getattr(bounds, "body_depth", None) \
+                is not None \
+                and getattr(self.backbone_m, "supports_bounds", False):
             feats = self.backbone_m(img, arch["backbone"], train=train,
                                     bounds=bounds)
         else:

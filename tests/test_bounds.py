@@ -190,3 +190,29 @@ def test_bounded_cycle_matches_sequential_fast_steps(setup):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7),
         s_seq.params, s_cyc.params)
+
+
+def test_bounds_noop_for_backbones_without_support():
+    """Backbones that don't declare ``supports_bounds`` must treat bounds
+    as a no-op (MAX execution, same numerics) rather than crash — the
+    train loop builds the depth bucketer unconditionally (review finding:
+    DynamicConvNeXt got TypeError on the first bounded step)."""
+    cfg = dict(
+        type="DynamicEncoderDecoder",
+        backbone=dict(type="DynamicConvNeXt", body_width=[8, 16, 24, 32],
+                      body_depth=[1, 1, 2, 1], out_indices=(0, 1, 2, 3),
+                      dtype=F32),
+        decode_head=dict(type="DynamicFCNHead", in_index=3, channels=8,
+                         num_convs=1, concat_input=False, dropout_ratio=0.0,
+                         num_classes=5, dtype=F32,
+                         loss_decode=dict(type="CrossEntropyLoss")),
+        test_cfg=dict(mode="whole"))
+    model = build_segmentor(cfg)
+    max_arch = model_max_arch(cfg)
+    arch = encode_arch(max_arch)
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3), F32)
+    variables = model.init(jax.random.PRNGKey(1), img, arch)
+    ref = model.apply(variables, img, arch)
+    out = model.apply(variables, img, arch,
+                      bounds=ArchBounds(body_depth=(1, 1, 1, 1)))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

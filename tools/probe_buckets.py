@@ -17,19 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def fetch(x):
-    leaf = jax.tree_util.tree_leaves(x)[0]
-    return np.asarray(leaf.reshape(-1)[:1])
-
-
-def timeit(fn, n=8):
-    out = fn()
-    fetch(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    fetch(out)
-    return (time.perf_counter() - t0) / n
+from gaiaseg_tpu.utils.timing import time_fn as timeit  # noqa: E402
 
 
 def main():
@@ -48,9 +36,6 @@ def main():
         else ge._FLAGSHIP
     model = build_segmentor(cfg["model"] if "model" in cfg else cfg)
     max_arch = model_max_arch(cfg["model"] if "model" in cfg else cfg)
-    sampler_cfg = Config.fromfile(
-        "configs/_dynamic_/models/pspnet_ar50to101v2_gsync.py")
-    del sampler_cfg
     s = build_model_sampler(Config.fromfile(
         "configs/_dynamic_/model_samplers/ar50to101v2.py")["train_sampler"])
     bucketer = make_depth_bucketer(s, max_arch)

@@ -21,18 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def fetch(x):
-    return np.asarray(jax.tree_util.tree_leaves(x)[0].reshape(-1)[:1])
-
-
-def timeit(fn, n=6):
-    out = fn()
-    fetch(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    fetch(out)
-    return (time.perf_counter() - t0) / n
+from gaiaseg_tpu.utils.timing import time_fn as timeit  # noqa: E402
 
 
 def main():

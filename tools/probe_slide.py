@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Slide-inference ablation at 1024x2048, R50 exact bounds, on the chip.
 
-Decomposes the 42ms masked-bounded slide step (vs ~16ms expected from the
-population whole-mode numbers):
-  crops_fwd   6-window batch through backbone+head logits (no upsample)
+Decomposes the masked-bounded slide step. NOTE the real grid at
+1024x2048 / crop 512x1024 / stride 341x683 is NINE windows (3x3) — the
+first version of this probe used 6 and undercounted slide cost ~1.5x:
+  crops_fwd   9-window batch through backbone+head logits (no upsample)
   crops_up    + per-window bilinear upsample to crop res
   slide       the full production slide_inference (+ scatter-accumulate)
   whole       whole-mode inference at the same bounds, for reference
@@ -19,18 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def fetch(x):
-    return np.asarray(jax.tree_util.tree_leaves(x)[0].reshape(-1)[:1])
-
-
-def timeit(fn, n=6):
-    out = fn()
-    fetch(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    fetch(out)
-    return (time.perf_counter() - t0) / n
+from gaiaseg_tpu.utils.timing import time_fn as timeit  # noqa: E402
 
 
 def main():
@@ -52,7 +42,7 @@ def main():
     bounds = exact_bounds(max_arch, r50_meta)
     rng = jax.random.PRNGKey(0)
     img = jax.random.normal(rng, (1, 1024, 2048, 3), jnp.bfloat16)
-    crops = jax.random.normal(rng, (6, 512, 1024, 3), jnp.bfloat16)
+    crops = jax.random.normal(rng, (9, 512, 1024, 3), jnp.bfloat16)
     variables = model.init(
         {"params": rng, "dropout": rng},
         jnp.zeros((1, 64, 64, 3), jnp.bfloat16),
@@ -84,9 +74,9 @@ def main():
 
     for name, fn in [
         ("whole 1024x2048", lambda: whole(variables, img, arch, b=bounds)),
-        ("crops_fwd 6x512x1024",
+        ("crops_fwd 9x512x1024",
          lambda: crops_fwd(variables, crops, arch, b=bounds)),
-        ("crops_up 6x512x1024",
+        ("crops_up 9x512x1024",
          lambda: crops_up(variables, crops, arch, b=bounds)),
         ("slide full", lambda: slide(variables, img, arch, b=bounds)),
     ]:
@@ -105,9 +95,9 @@ def epilogue_probe():
     h, w, hc, wc, C = 1024, 2048, 512, 1024, 19
     origins = []
     for i in range(3):
-        for j in range(2):
+        for j in range(3):
             origins.append((min(i * 341, h - hc), min(j * 683, w - wc)))
-    logits = jax.random.normal(rng, (6, 1, hc, wc, C), jnp.bfloat16)
+    logits = jax.random.normal(rng, (9, 1, hc, wc, C), jnp.bfloat16)
 
     @jax.jit
     def epi(lg):
