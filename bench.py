@@ -76,6 +76,15 @@ def main():
     metas = [train_sampler.sample() for _ in range(8)]  # one sandwich cycle
     archs = [encode_arch(max_arch, m) for m in metas]
     arch_bounds = [bucketer(m) for m in metas]
+    # mirror engine/train.py's cycle bounds: anchors exact, random draws
+    # share one covering bucket (snapped to the bucketer's candidates) so
+    # the bounds_seq variant count stays bounded in production
+    rnd = [b for b, m in zip(arch_bounds, metas) if not m.get("name")]
+    if rnd:
+        cover = bucketer({"arch.backbone.body.depth": [
+            max(ds) for ds in zip(*[b.body_depth for b in rnd])]})
+        arch_bounds = [b if m.get("name") else cover
+                       for b, m in zip(arch_bounds, metas)]
 
     schedule = build_lr_schedule(dict(policy="poly", power=0.9), 0.01, 1000)
     tx = build_optimizer(dict(type="SGD", lr=0.01, momentum=0.9,
