@@ -169,23 +169,38 @@ class DynamicEncoderDecoder(nn.Module):
         num_classes = logits.shape[-1]
         logits = logits.reshape(len(origins), n, h_crop, w_crop, num_classes)
 
-        # overlap-accumulate via STATIC zero-pads + sum: the grid origins
-        # are Python ints, so each window pads to canvas position at trace
-        # time and XLA fuses the adds — the dynamic_update_slice
-        # read-modify-write loop this replaces cost ~20ms/img on v5e
-        # (unaligned strides defeat the 8x128 tiling), >half the slide
-        # step. The overlap count is a trace-time numpy constant.
-        preds = None
-        for k, (y0, x0) in enumerate(origins):
-            # pad in the compute dtype (halves the pad traffic); the add
-            # upcasts, so accumulation stays f32-exact
-            p = jnp.pad(logits[k], ((0, 0), (y0, h - h_crop - y0),
-                                    (x0, w - w_crop - x0), (0, 0)))
-            preds = p.astype(jnp.float32) if preds is None else preds + p
-        count = np.zeros((1, h, w, 1), np.float32)
-        for (y0, x0) in origins:
-            count[:, y0:y0 + h_crop, x0:x0 + w_crop] += 1.0
-        return preds / jnp.asarray(count)
+        # overlap-accumulate by STATIC cell decomposition: the window grid
+        # partitions the canvas into rectangular cells (boundaries = all
+        # window edges), each covered by a fixed subset of windows. Each
+        # cell is the sum of its covering windows' slices divided by the
+        # cover count (a trace-time scalar), then cells concat back — one
+        # read of every window logit, one write of the canvas. This
+        # replaces first a dynamic_update_slice read-modify-write loop
+        # (~20ms/img on v5e: unaligned strides defeat the 8x128 tiling)
+        # and then a 9x full-canvas pad+sum (~10ms); adding zeros is exact
+        # in f32, so results are bitwise identical to both.
+        ys = sorted({0, h} | {y0 for y0, _ in origins}
+                    | {y0 + h_crop for y0, _ in origins})
+        xs = sorted({0, w} | {x0 for _, x0 in origins}
+                    | {x0 + w_crop for _, x0 in origins})
+        rows = []
+        for y_lo, y_hi in zip(ys[:-1], ys[1:]):
+            cells = []
+            for x_lo, x_hi in zip(xs[:-1], xs[1:]):
+                parts = [
+                    logits[k][:, y_lo - y0:y_hi - y0, x_lo - x0:x_hi - x0]
+                    for k, (y0, x0) in enumerate(origins)
+                    if y0 <= y_lo and y_hi <= y0 + h_crop
+                    and x0 <= x_lo and x_hi <= x0 + w_crop]
+                acc = parts[0].astype(jnp.float32)
+                for p in parts[1:]:
+                    acc = acc + p
+                # true division (not reciprocal multiply): counts of 3
+                # would differ by 1 ulp from the reference's preds/count
+                cells.append(acc if len(parts) == 1
+                             else acc / float(len(parts)))
+            rows.append(jnp.concatenate(cells, axis=2))
+        return jnp.concatenate(rows, axis=1)
 
     def inference(self, img: Array, arch: Dict[str, Any],
                   flip: bool = False, bounds=None) -> Array:
