@@ -247,7 +247,10 @@ def train_segmentor(model, cfg, *, work_dir: str,
                     progress_cb=None) -> Tuple[TrainState, Dict[str, Any]]:
     """Run supernet training per config. Returns (final_state, history)."""
     os.makedirs(work_dir, exist_ok=True)
-    mesh = make_mesh()
+    # model_parallel=K (TPU extension): data x model mesh; params are
+    # tensor-parallel sharded over the model axis (parallel/mesh.py
+    # tp_spec) and GSPMD inserts the collectives. Default: pure DP.
+    mesh = make_mesh(model_parallel=int(cfg.get("model_parallel", 1) or 1))
     data_cfg = cfg.get("data", {})
     if train_dataset is None:
         train_dataset = build_dataset(data_cfg["train"])
@@ -340,7 +343,11 @@ def train_segmentor(model, cfg, *, work_dir: str,
                 logger.warning("teacher_checkpoint %s not found; teacher "
                                "keeps fresh init", teacher_ckpt)
     start_step = int(state.step)
-    state = replicate(state, mesh)
+    if mesh.shape["model"] > 1:
+        from ..parallel.mesh import shard_state
+        state = shard_state(state, mesh)
+    else:
+        state = replicate(state, mesh)
 
     k_disp = max(int(steps_per_dispatch), 1)
     if cfg.get("steps_per_dispatch"):

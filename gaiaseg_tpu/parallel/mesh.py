@@ -53,6 +53,54 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+def _path_str(path) -> str:
+    out = []
+    for p in path:
+        out.append(str(getattr(p, "key", getattr(p, "idx", p))))
+    return "/".join(out).lower()
+
+
+def tp_spec(path: str, shape, tp: int,
+            min_size: int = 1 << 16) -> PartitionSpec:
+    """Tensor-parallel PartitionSpec for one parameter leaf.
+
+    Megatron-style pairing for transformer blocks so GSPMD needs one
+    collective per block instead of one per matmul: column-parallel
+    (shard OUTPUT dim) for qkv / fc1, row-parallel (shard INPUT dim,
+    partial-sum output) for the attention out-projection / fc2. Everything
+    else: shard the last (output-channel) dim when divisible and the leaf
+    is big enough to matter; small/1-D leaves (biases, norms, BN stats,
+    layer scales) stay replicated — XLA slices them at use sites.
+    """
+    if tp <= 1 or len(shape) < 2:
+        return P()
+    nd = len(shape)
+    if any(k in path for k in ("proj", "fc2")) and shape[-2] % tp == 0 \
+            and int(np.prod(shape)) >= min_size:
+        return P(*([None] * (nd - 2)), MODEL_AXIS, None)
+    if shape[-1] % tp == 0 and int(np.prod(shape)) >= min_size:
+        return P(*([None] * (nd - 1)), MODEL_AXIS)
+    return P()
+
+
+def shard_state(tree: Any, mesh: Mesh, min_size: int = 1 << 16) -> Any:
+    """Place a train-state pytree with tensor-parallel param shardings
+    over the ``model`` axis (replicated when the axis is size 1 — then
+    identical to :func:`replicate`). Works on the whole TrainState:
+    optimizer momenta mirror their parameter's sharding because the rule
+    depends only on (path, shape). ``min_size`` gates which leaves are
+    worth sharding (tests/dry runs lower it to exercise TP on tiny
+    models)."""
+    tp = mesh.shape[MODEL_AXIS]
+
+    def place(path, x):
+        x = np.asarray(x) if not hasattr(x, "shape") else x
+        spec = tp_spec(_path_str(path), x.shape, tp, min_size=min_size)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, tree)
+
+
 def local_device_count() -> int:
     return jax.local_device_count()
 
