@@ -29,6 +29,9 @@ def parse_args():
                    help="key=value deep-merge overrides (dot keys)")
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--model-parallel", type=int, default=None,
+                   help="tensor-parallel size over the model mesh axis "
+                        "(overrides cfg.model_parallel; default pure DP)")
     p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--device", default=None,
                    help="force a jax platform, e.g. cpu / tpu")
@@ -69,6 +72,8 @@ def main():
     cfg = Config.fromfile(args.config)
     if args.cfg_options:
         cfg.merge_from_dict(cfg_options_to_dict(args.cfg_options))
+    if args.model_parallel:
+        cfg["model_parallel"] = int(args.model_parallel)
     work_dir = args.work_dir or osp.join(
         "work_dirs", osp.splitext(osp.basename(args.config))[0])
     os.makedirs(work_dir, exist_ok=True)
