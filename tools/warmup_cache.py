@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Precompile the production train programs into the persistent XLA cache.
+
+A supernet training run with ``steps_per_dispatch=8`` compiles one
+unrolled cycle program per distinct bounds sequence (anchors exact +
+one covering bucket for the random slots — engine/train.py). Each
+compile takes 10-20 min on the relay; hitting them mid-run stalls
+training. This tool compiles every reachable variant up front (cached in
+~/.cache/gaiaseg_jax, reused by all later runs of the same config/batch).
+
+Usage:
+  python tools/warmup_cache.py <config> [--batch 8] [--crop 512]
+      [--max-variants N] [--device cpu]
+"""
+import argparse
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--crop", type=int, default=512)
+    p.add_argument("--max-variants", type=int, default=None,
+                   help="stop after N cycle variants (default: all)")
+    p.add_argument("--sampler", default=None,
+                   help="config file providing train_sampler when the "
+                        "model config does not (e.g. "
+                        "configs/_dynamic_/model_samplers/ar50to101v2.py)")
+    from gaiaseg_tpu.utils.cli import add_device_arg
+    add_device_arg(p)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from gaiaseg_tpu.utils.cli import apply_device
+    apply_device(args)
+    from gaiaseg_tpu.utils.jax_cache import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from gaiaseg_tpu.archspace import build_model_sampler
+    from gaiaseg_tpu.engine import (create_train_state,
+                                    make_multi_train_step, make_train_step)
+    from gaiaseg_tpu.engine.optim import build_lr_schedule, build_optimizer
+    from gaiaseg_tpu.models import (build_segmentor, encode_arch,
+                                    model_max_arch)
+    from gaiaseg_tpu.models.arch_util import make_depth_bucketer
+    from gaiaseg_tpu.utils import Config
+
+    cfg = Config.fromfile(args.config)
+    model = build_segmentor(cfg["model"],
+                            test_cfg=cfg["model"].get("test_cfg"))
+    max_arch = model_max_arch(cfg["model"])
+    sampler_cfg = cfg.get("train_sampler") or Config.fromfile(
+        args.sampler)["train_sampler"]
+    sampler = build_model_sampler(sampler_cfg)
+    bucketer = make_depth_bucketer(sampler, max_arch)
+
+    # the anchor positions of one sandwich cycle (names pin them)
+    metas = [sampler.sample() for _ in range(64)]
+    cycle, rnd_buckets = [], []
+    for m in metas:
+        if m.get("name"):
+            if all(m.get("name") != c.get("name") for c in cycle):
+                cycle.append(m)
+        else:
+            b = bucketer(m)
+            if b not in rnd_buckets:
+                rnd_buckets.append(b)
+    k = int(cfg.get("steps_per_dispatch", 8))
+    n_rand = max(k - len(cycle), 0)
+    anchors = [bucketer(m) for m in cycle[:k]]
+    print(f"cycle: {len(cycle)} anchors + {n_rand} random slots; "
+          f"{len(rnd_buckets)} reachable covering buckets", flush=True)
+
+    sched_cfg = cfg.get("lr_config") or dict(policy="poly", power=0.9)
+    schedule = build_lr_schedule(sched_cfg, 0.01, 1000)
+    tx = build_optimizer(cfg.get("optimizer") or dict(type="SGD", lr=0.01),
+                         cfg.get("optimizer_config"), schedule)
+
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((args.batch, args.crop, args.crop, 3), jnp.bfloat16)
+    gt = jnp.zeros((args.batch, args.crop, args.crop), jnp.int32)
+    archs = [encode_arch(max_arch, m) for m in (cycle * 3)[:k]]
+    arch_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *archs)
+    imgs_k = jnp.broadcast_to(img, (k,) + img.shape)
+    gts_k = jnp.broadcast_to(gt, (k,) + gt.shape)
+    rngs_k = jax.random.split(rng, k)
+
+    state = create_train_state(model, rng, img, archs[0], tx)
+    full = make_train_step(model, tx, update_stats=True, with_logs=True)
+    t0 = time.time()
+    state, _ = full(state, img, gt, archs[0], rng)
+    print(f"full (logging/BN) step: {time.time() - t0:.0f}s", flush=True)
+
+    multi = make_multi_train_step(model, tx, k)
+    variants = rnd_buckets if args.max_variants is None \
+        else rnd_buckets[:args.max_variants]
+    for i, cover in enumerate(variants):
+        bseq = tuple(anchors + [cover] * n_rand)
+        t0 = time.time()
+        state, _ = multi(state, imgs_k, gts_k, arch_stack, rngs_k,
+                         bounds_seq=bseq)
+        jax.tree_util.tree_leaves(state.params)[0].block_until_ready()
+        print(f"[{i + 1}/{len(variants)}] cycle variant cover="
+              f"{cover.body_depth}: {time.time() - t0:.0f}s", flush=True)
+    print("warmup done; programs persisted in the compilation cache",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
