@@ -570,6 +570,23 @@ def train_segmentor(model, cfg, *, work_dir: str,
             progress_cb(it - 1, logs)
 
         if it % ckpt_interval < step_inc or it == max_iters:
+            calib_n = int((cfg.get("checkpoint_config") or {})
+                          .get("calibrate_bn", 0))
+            if calib_n and train_dataset is not None:
+                # re-estimate BN running stats at the MAX anchor before
+                # saving: silent fast steps never update stats, so
+                # checkpointed stats otherwise reflect only the sparse
+                # log-boundary refreshes (whatever arch those sampled)
+                from .calibrate import calibrate_bn
+                vs = calibrate_bn(
+                    model,
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    train_dataset, encode_arch(max_arch),
+                    num_batches=calib_n,
+                    batch_size=samples_per_gpu,
+                    test_params=test_pipe)
+                state = state.replace(batch_stats=vs["batch_stats"])
             if jax.process_index() == 0:
                 path = osp.join(work_dir, f"iter_{it}.ckpt")
                 save_checkpoint(path, state, meta={

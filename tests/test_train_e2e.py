@@ -126,7 +126,10 @@ def test_train_bounded_cycle_dispatch(tmp_path):
     cfg = Config.fromfile(CFG)
     cfg["steps_per_dispatch"] = 4
     cfg["evaluation"] = dict(interval=1000)
-    cfg["checkpoint_config"] = dict(interval=1000)
+    # calibrate_bn: running stats re-estimated at the MAX anchor before
+    # the (final) checkpoint save — the staleness mitigation for silent
+    # cycle steps
+    cfg["checkpoint_config"] = dict(interval=1000, calibrate_bn=2)
     cfg["log_config"] = dict(interval=4)
     model = build_segmentor(cfg["model"],
                             test_cfg=cfg["model"].get("test_cfg"))
