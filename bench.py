@@ -60,7 +60,8 @@ def main():
     from gaiaseg_tpu.engine.optim import build_lr_schedule, build_optimizer
     from gaiaseg_tpu.models import (build_segmentor, encode_arch,
                                     model_max_arch)
-    from gaiaseg_tpu.models.arch_util import (exact_bounds,
+    from gaiaseg_tpu.models.arch_util import (cycle_bounds_seq,
+                                              exact_bounds,
                                               make_depth_bucketer)
     from gaiaseg_tpu.utils import Config
     import __graft_entry__ as ge
@@ -75,16 +76,11 @@ def main():
     bucketer = make_depth_bucketer(train_sampler, max_arch)
     metas = [train_sampler.sample() for _ in range(8)]  # one sandwich cycle
     archs = [encode_arch(max_arch, m) for m in metas]
-    arch_bounds = [bucketer(m) for m in metas]
-    # mirror engine/train.py's cycle bounds: anchors exact, random draws
-    # share one covering bucket (snapped to the bucketer's candidates) so
-    # the bounds_seq variant count stays bounded in production
-    rnd = [b for b, m in zip(arch_bounds, metas) if not m.get("name")]
-    if rnd:
-        cover = bucketer({"arch.backbone.body.depth": [
-            max(ds) for ds in zip(*[b.body_depth for b in rnd])]})
-        arch_bounds = [b if m.get("name") else cover
-                       for b, m in zip(arch_bounds, metas)]
+    # the EXACT production cycle bounds (shared enumeration with
+    # engine/train.py and tools/warmup_cache.py): anchors exact,
+    # randoms share one snapped covering bucket
+    arch_bounds = list(cycle_bounds_seq(metas, bucketer) or
+                       [bucketer(m) for m in metas])
 
     schedule = build_lr_schedule(dict(policy="poly", power=0.9), 0.01, 1000)
     tx = build_optimizer(dict(type="SGD", lr=0.01, momentum=0.9,

@@ -312,31 +312,51 @@ def segmentor_state_dict_to_variables(state_dict: Dict[str, Any],
 
     bb_sd = {k[len("backbone."):]: v for k, v in sd.items()
              if k.startswith("backbone.")}
-    bb_sd = _stem_state_to_resnet_keys(bb_sd)
-    # deep-stem rewritten keys: place stem_conv{j}/stem_bn{j} directly
-    bb_p = out["params"]["backbone_m"]
-    bb_s = out["batch_stats"].get("backbone_m", {})
-    for k in list(bb_sd):
-        m = re.match(r"^stem_conv(\d)\.weight$", k)
-        if m and f"stem{m.group(1)}" in bb_p:
-            name = f"stem{m.group(1)}"
-            bb_p[name]["conv"]["kernel"] = _place(
-                np.asarray(bb_p[name]["conv"]["kernel"]),
-                _conv_kernel(bb_sd.pop(k)))
-        m = re.match(r"^stem_bn(\d)\.(weight|bias|running_mean|running_var)$",
-                     k) if k in bb_sd else None
-        if m and f"stem{m.group(1)}" in bb_p:
-            name, field = f"stem{m.group(1)}", m.group(2)
-            ours = {"weight": ("scale", bb_p), "bias": ("bias", bb_p),
-                    "running_mean": ("mean", bb_s),
-                    "running_var": ("var", bb_s)}[field]
-            key, tree = ours
-            tree[name]["bn"][key] = _place(
-                np.asarray(tree[name]["bn"][key]), _to_np(bb_sd.pop(k)))
-    if bb_sd:
-        new_p, new_s = resnet_state_dict_to_params(
-            bb_sd, out["params"], out["batch_stats"])
-        out = {"params": new_p, "batch_stats": new_s}
+    # dispatch on the configured backbone family — routing a transformer
+    # checkpoint through the ResNet key map would silently skip every
+    # backbone key (strict=False style) and keep the random init
+    bb_type = str((model_cfg.get("backbone") or {}).get(
+        "type", "DynamicResNet"))
+    if bb_sd and bb_type in ("BEiT", "Beit"):
+        out["params"]["backbone_m"] = beit_state_dict_to_params(
+            bb_sd, out["params"]["backbone_m"])
+    elif bb_sd and bb_type in ("ElasticTransformer", "ElasticTransformer1"):
+        pe = np.asarray(out["params"]["backbone_m"]["pos_embed"])
+        ref_grid = int(round((pe.shape[1] - 1) ** 0.5))
+        out["params"]["backbone_m"] = vit_state_dict_to_params(
+            bb_sd, out["params"]["backbone_m"], ref_grid)
+    elif bb_sd and bb_type not in ("DynamicResNet",):
+        raise ValueError(
+            f"no torch backbone converter for type {bb_type!r} — "
+            "convert the checkpoint offline or drop its backbone.* keys")
+    elif bb_sd:
+        bb_sd = _stem_state_to_resnet_keys(bb_sd)
+        # deep-stem rewritten keys: place stem_conv{j}/stem_bn{j} directly
+        bb_p = out["params"]["backbone_m"]
+        bb_s = out["batch_stats"].get("backbone_m", {})
+        for k in list(bb_sd):
+            m = re.match(r"^stem_conv(\d)\.weight$", k)
+            if m and f"stem{m.group(1)}" in bb_p:
+                name = f"stem{m.group(1)}"
+                bb_p[name]["conv"]["kernel"] = _place(
+                    np.asarray(bb_p[name]["conv"]["kernel"]),
+                    _conv_kernel(bb_sd.pop(k)))
+            m = re.match(
+                r"^stem_bn(\d)\.(weight|bias|running_mean|running_var)$",
+                k) if k in bb_sd else None
+            if m and f"stem{m.group(1)}" in bb_p:
+                name, field = f"stem{m.group(1)}", m.group(2)
+                ours = {"weight": ("scale", bb_p), "bias": ("bias", bb_p),
+                        "running_mean": ("mean", bb_s),
+                        "running_var": ("var", bb_s)}[field]
+                key, tree = ours
+                tree[name]["bn"][key] = _place(
+                    np.asarray(tree[name]["bn"][key]),
+                    _to_np(bb_sd.pop(k)))
+        if bb_sd:
+            new_p, new_s = resnet_state_dict_to_params(
+                bb_sd, out["params"], out["batch_stats"])
+            out = {"params": new_p, "batch_stats": new_s}
 
     head_cfg = dict(model_cfg.get("decode_head") or {})
     dh_sd = {k[len("decode_head."):]: v for k, v in sd.items()

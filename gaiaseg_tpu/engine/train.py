@@ -16,6 +16,7 @@ host-IO + exactly two device programs (augment, step).
 from __future__ import annotations
 
 import functools
+import inspect
 import json
 import logging
 import os
@@ -33,7 +34,7 @@ from ..data.datasets import build_dataset
 from ..data.loader import BatchLoader
 from ..data.pipeline_cfg import parse_test_pipeline, parse_train_pipeline
 from ..data.transforms import augment_batch
-from ..models.arch_util import (ArchBounds, encode_arch,
+from ..models.arch_util import (ArchBounds, cycle_bounds_seq, encode_arch,
                                 make_depth_bucketer, model_max_arch)
 from ..parallel.mesh import (broadcast_object, make_mesh, replicate,
                              shard_batch)
@@ -189,30 +190,61 @@ def make_multi_train_step(model, tx, k: int):
     return multi_step
 
 
-def load_teacher_checkpoint(path: str, params: Dict[str, Any]
-                            ) -> Dict[str, Any]:
+def load_teacher_checkpoint(path: str, params: Dict[str, Any],
+                            batch_stats: Optional[Dict[str, Any]] = None,
+                            model_cfg: Optional[Dict[str, Any]] = None
+                            ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Load the distiller's frozen-teacher weights (reference
-    dynamic_distiller.py:195-200 ``teacher_ckpt`` load incl. the
-    pos-embedding surgery, here inside the BEiT converter).
+    dynamic_distiller.py:195-200 loads a FULL teacher segmentor ckpt:
+    backbone + decode_head, incl. the pos-embedding surgery — here inside
+    the BEiT converter). Returns (params, batch_stats).
 
-    ``.pth``/``.pt``: an official-layout torch BEiT checkpoint converted
-    into ``params['t_backbone']`` (tables resampled to our window). Other
-    paths: an our-format checkpoint whose params tree carries the
-    ``t_backbone``/``t_decode_head`` subtrees (e.g. saved from a distiller
-    run)."""
+    ``.pth``/``.pt``: a torch checkpoint. ``backbone.*`` keys convert into
+    ``params['t_backbone']`` (tables resampled to our window); if
+    ``decode_head.*`` keys exist they convert into ``t_decode_head`` —
+    never silently dropped, since a fresh-random teacher head would corrupt
+    ``distill_loss_seg`` with no error. Other paths: an our-format
+    checkpoint whose params tree carries the ``t_backbone``/``t_decode_head``
+    subtrees (e.g. saved from a distiller run)."""
     params = dict(params)
+    batch_stats = dict(batch_stats or {})
     if path.endswith((".pth", ".pt")):
         import torch
-        from .torch_convert import beit_state_dict_to_params
+        from .torch_convert import _convert_head, beit_state_dict_to_params
         sd = torch.load(path, map_location="cpu", weights_only=False)
         if isinstance(sd, dict):
             sd = sd.get("state_dict", sd.get("model", sd))
-        sd = {(k[len("backbone."):] if k.startswith("backbone.") else k): v
-              for k, v in sd.items()}
+        dh_sd = {k[len("decode_head."):]: v for k, v in sd.items()
+                 if k.startswith("decode_head.")}
+        bb_sd = {(k[len("backbone."):] if k.startswith("backbone.") else k):
+                 v for k, v in sd.items()
+                 if not k.startswith(("decode_head.", "auxiliary_head."))}
         params["t_backbone"] = beit_state_dict_to_params(
-            sd, params["t_backbone"])
-        logger.info("loaded torch BEiT teacher from %s", path)
-        return params
+            bb_sd, params["t_backbone"])
+        if dh_sd:
+            if "t_decode_head" not in params:
+                raise ValueError(
+                    f"teacher checkpoint {path} carries decode_head.* keys "
+                    "but the distiller has no teacher_decode_head configured")
+            import copy
+            head_cfg = dict((model_cfg or {}).get("teacher_decode_head")
+                            or {})
+            params["t_decode_head"] = copy.deepcopy(params["t_decode_head"])
+            batch_stats["t_decode_head"] = copy.deepcopy(
+                batch_stats.get("t_decode_head", {}))
+            _convert_head(dh_sd, params["t_decode_head"],
+                          batch_stats["t_decode_head"], head_cfg)
+            logger.info("loaded torch teacher backbone + decode_head "
+                        "from %s", path)
+        elif "t_decode_head" in params:
+            raise ValueError(
+                f"teacher checkpoint {path} has no decode_head.* keys but "
+                "the distiller computes distill_loss_seg from "
+                "t_decode_head — supply a full teacher segmentor ckpt or "
+                "an our-format checkpoint with the t_decode_head subtree")
+        else:
+            logger.info("loaded torch BEiT teacher from %s", path)
+        return params, batch_stats
     from .checkpoint import load_checkpoint
     keys = [k for k in ("t_backbone", "t_decode_head", "t_neck")
             if k in params]
@@ -221,7 +253,7 @@ def load_teacher_checkpoint(path: str, params: Dict[str, Any]
     for k in keys:
         params[k] = loaded["params"][k]
     logger.info("loaded teacher subtrees %s from %s", keys, path)
-    return params
+    return params, batch_stats
 
 
 def _max_iters(cfg) -> int:
@@ -337,8 +369,10 @@ def train_segmentor(model, cfg, *, work_dir: str,
         if teacher_ckpt and "t_backbone" in state.params \
                 and not resume_from:
             if osp.exists(str(teacher_ckpt)):
-                state = state.replace(params=load_teacher_checkpoint(
-                    str(teacher_ckpt), state.params))
+                t_params, t_stats = load_teacher_checkpoint(
+                    str(teacher_ckpt), state.params, state.batch_stats,
+                    model_cfg)
+                state = state.replace(params=t_params, batch_stats=t_stats)
             else:
                 logger.warning("teacher_checkpoint %s not found; teacher "
                                "keeps fresh init", teacher_ckpt)
@@ -393,12 +427,20 @@ def train_segmentor(model, cfg, *, work_dir: str,
         mean_v = jnp.asarray(test_pipe.mean)
         std_v = jnp.asarray(test_pipe.std)
 
+        # eval-mode losses (BN running stats, no dropout) — matches mmcv's
+        # model.eval() during the val workflow phase, so the recorded
+        # val_loss history is comparable to the reference's. Distillers
+        # keep train-mode internals (their forward_train has no eval path).
+        _val_kw = {"train": False} \
+            if "train" in inspect.signature(model.forward_train).parameters \
+            else {}
+
         @jax.jit
         def val_loss_step(state, img, gt, arch, rng):
             (total, logs), _ = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 img, gt, arch, False, method=model.forward_train,
-                mutable=[], rngs={"dropout": rng})
+                mutable=[], rngs={"dropout": rng}, **_val_kw)
             return logs
 
         val_iter = iter(BatchLoader(val_dataset, samples_per_gpu * n_dev,
@@ -483,29 +525,10 @@ def train_segmentor(model, cfg, *, work_dir: str,
             batches = [next_aug_batch() for _ in range(k_disp)]
             triples = [next_arch(with_meta=True) for _ in range(k_disp)]
             archs = [a for a, _, _ in triples]
-            # named (anchor) positions keep their exact bounds; the random
-            # positions share ONE covering bucket — otherwise nearly every
-            # cycle draws a new bounds_seq and each distinct sequence is a
-            # fresh multi-minute compile of the unrolled cycle program.
-            # Variant count collapses to ~#quantization levels.
-            rnd = [b for _, b, m in triples
-                   if b is not None and b.body_depth is not None
-                   and not m.get("name")]
-            cover = None
-            if rnd:
-                cover = ArchBounds(body_depth=tuple(
-                    max(ds) for ds in zip(*[b.body_depth for b in rnd])))
-                if bucketer is not None:
-                    # snap to the bucketer's candidate set so the variant
-                    # count is bounded by its quantization, not by
-                    # elementwise-max combinations
-                    cover = bucketer({"arch.backbone.body.depth":
-                                      list(cover.body_depth)})
-            bseq = tuple(
-                (cover if (cover is not None and not m.get("name")
-                           and b is not None and b.body_depth is not None)
-                 else b)
-                for _, b, m in triples)
+            # anchors exact, randoms share one snapped covering bucket —
+            # the shared enumeration (also driven by bench.py and
+            # tools/warmup_cache.py, so precompiled variants match)
+            bseq = cycle_bounds_seq([m for _, _, m in triples], bucketer)
             rng, k_drop = jax.random.split(rng)
             state, logs_k = multi_step(
                 state,
@@ -513,14 +536,17 @@ def train_segmentor(model, cfg, *, work_dir: str,
                 jnp.stack([b["gt"] for b in batches]),
                 jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *archs),
                 jax.random.split(k_drop, k_disp),
-                bounds_seq=bseq if all(b is not None for b in bseq)
-                else None)
+                bounds_seq=bseq)
             if logs_k:
                 logs = {k: v[-1] for k, v in logs_k.items()}
                 loss_acc += float(jnp.mean(logs_k["decode.loss_seg"]))
                 n_acc += 1
             step_inc = k_disp
-            if (it + k_disp) % log_interval < k_disp:
+            if (it + k_disp) % log_interval < k_disp \
+                    and it + k_disp < max_iters:
+                # (the second clause keeps the cycle from overshooting
+                # max_iters by one — the final checkpoint must fire at
+                # exactly it == max_iters)
                 # crossing a log boundary: one full step refreshes BN
                 # running stats and yields the loss for the log line.
                 # Reuses the cycle's LAST arch instead of drawing a new

@@ -73,20 +73,28 @@ class DynResLayer(nn.Module):
                                 # proportional cost, like the reference's
                                 # dynamic_res_layer.py:166-172); blocks in
                                 # [depth, bound) stay masked identities.
+    width_bound: int = 0        # STATIC mid-width bound; 0 = planes. Convs
+                                # run on the first bound lanes only (the
+                                # reference's slice semantics,
+                                # dynamic_res_layer.py:154-157).
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array, width: Array, depth: Array, *,
                  train: bool = False) -> Array:
+        wb = self.planes
+        if self.width_bound and not self.is_initializing() \
+                and not self.scan_blocks:
+            wb = min(self.width_bound, self.planes)
         out_mask = channel_mask(width * self.expansion,
-                                self.planes * self.expansion, self.dtype)
+                                wb * self.expansion, self.dtype)
         first_dilation = self.dilation
         if self.contract_dilation and self.dilation > 1:
             first_dilation = self.dilation // 2
         x = DynBottleneck(self.planes, self.expansion, self.strides,
                           first_dilation, has_downsample=True,
                           avg_down=self.avg_down, bn_groups=self.bn_groups,
-                          dtype=self.dtype,
+                          width_bound=wb, dtype=self.dtype,
                           name="block0")(x, width, out_mask, train=train)
         bound = self.max_depth
         if self.depth_bound and not self.is_initializing():
@@ -115,7 +123,8 @@ class DynResLayer(nn.Module):
             active = jnp.asarray(i, jnp.int32) < depth
             x = DynBottleneck(self.planes, self.expansion, 1, self.dilation,
                               has_downsample=False,
-                              bn_groups=self.bn_groups, dtype=self.dtype,
+                              bn_groups=self.bn_groups, width_bound=wb,
+                              dtype=self.dtype,
                               name=f"block{i}")(
                 x, width, out_mask, train=train, active=active)
         return x
@@ -178,6 +187,10 @@ class DynamicResNet(nn.Module):
         ``make_depth_bucketer`` so that is true by construction."""
         bn_train = train and not self.norm_eval
         depth_bounds = getattr(bounds, "body_depth", None) or (0, 0, 0, 0)
+        width_bounds = getattr(bounds, "body_width", None) or (0, 0, 0, 0)
+        stem_bound = getattr(bounds, "stem_width", None) or 0
+        if self.scan_blocks:
+            width_bounds, stem_bound = (0, 0, 0, 0), 0
         stem_w = jnp.atleast_1d(jnp.asarray(arch["stem"]["width"], jnp.int32))
         widths = jnp.asarray(arch["body"]["width"], jnp.int32)
         depths = jnp.asarray(arch["body"]["depth"], jnp.int32)
@@ -187,13 +200,17 @@ class DynamicResNet(nn.Module):
             for i, w_max in enumerate(sws):
                 w_act = stem_w[i] if stem_w.shape[0] == len(sws) else \
                     (stem_w[0] // 2 if i < 2 else stem_w[0])
-                mask = channel_mask(w_act, w_max, self.dtype)
+                # conservative per-conv bound (covers any 3-list stem meta
+                # whose entries are <= the scalar stem bound)
+                wb = min(w_max, stem_bound) if stem_bound else w_max
+                mask = channel_mask(w_act, wb, self.dtype)
                 x = DynConvModule(w_max, 3, 2 if i == 0 else 1, norm="bn",
                                   act="relu", bn_groups=self.bn_groups,
                                   dtype=self.dtype,
                                   name=f"stem{i}")(x, mask, train=bn_train)
         else:
-            mask = channel_mask(stem_w[0], sws[0], self.dtype)
+            wb = min(sws[0], stem_bound) if stem_bound else sws[0]
+            mask = channel_mask(stem_w[0], wb, self.dtype)
             x = DynConvModule(sws[0], 7, 2, norm="bn", act="relu",
                               bn_groups=self.bn_groups, dtype=self.dtype,
                               name="stem0")(
@@ -210,6 +227,7 @@ class DynamicResNet(nn.Module):
                             scan_blocks=self.scan_blocks,
                             bn_groups=self.bn_groups,
                             depth_bound=int(depth_bounds[i]),
+                            width_bound=int(width_bounds[i]),
                             dtype=self.dtype, name=f"layer{i + 1}")(
                 x, widths[i], depths[i], train=bn_train)
             if i in self.out_indices:

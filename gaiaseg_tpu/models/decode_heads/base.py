@@ -49,6 +49,16 @@ class BaseDecodeHead(nn.Module):
             target = feats[0].shape[1:3]
             feats = [resize_bilinear(f, target, self.align_corners)
                      for f in feats]
+            # width-bounded backbone: pad prefix-sliced feats back to their
+            # declared channels so the concat layout matches MAX kernels
+            # (inactive lanes are zero, so padding is exact)
+            if isinstance(self.in_channels, (list, tuple)) and \
+                    len(self.in_channels) == len(feats):
+                feats = [
+                    f if f.shape[-1] >= int(c) else
+                    jnp.pad(f, [(0, 0)] * (f.ndim - 1)
+                            + [(0, int(c) - f.shape[-1])])
+                    for f, c in zip(feats, self.in_channels)]
             return jnp.concatenate(feats, axis=-1)
         if self.input_transform == "multiple_select":
             return [inputs[i] for i in self.in_index]

@@ -42,8 +42,11 @@ class DynamicFCNHead(BaseDecodeHead):
             feat = y
         if self.concat_input:
             feat = jnp.concatenate([x, y], axis=-1)
+            # width-bounded backbone: x may arrive prefix-sliced; the conv
+            # branch (static width) maps to the LAST kernel rows
             feat = DynConvModule(self.channels, self.kernel_size, norm="bn",
                                  act="relu", bn_groups=self.bn_groups,
                                  dtype=self.dtype,
-                                 name="conv_cat")(feat, train=train)
+                                 name="conv_cat")(feat, train=train,
+                                                  in_tail=self.channels)
         return self.cls_seg(feat, train=train)

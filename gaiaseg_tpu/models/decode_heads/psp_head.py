@@ -59,8 +59,13 @@ class DynamicPSPHead(BaseDecodeHead):
                              self.align_corners, self.bn_groups, self.dtype,
                              name="psp_modules")(x, train=train)
         feat = jnp.concatenate(psp_outs, axis=-1)
+        # width-bounded backbone: x may arrive prefix-sliced, shifting the
+        # concat layout — the pool branches (static widths) map to the LAST
+        # kernel rows (the executed analog of the reference's
+        # channel_record concat slicing, reference psp_head.py:235-239)
         feat = DynConvModule(self.channels, 3, norm="bn", act="relu",
                              bn_groups=self.bn_groups, dtype=self.dtype,
                              name="bottleneck")(
-            feat, train=train)
+            feat, train=train,
+            in_tail=len(self.pool_scales) * self.channels)
         return self.cls_seg(feat, train=train)

@@ -37,10 +37,13 @@ class DynamicUPerHead(BaseDecodeHead):
                                self.align_corners, self.bn_groups,
                                self.dtype,
                                name="psp_modules")(top, train=train)
+        # width-bounded backbone: top may arrive prefix-sliced, shifting
+        # the concat layout (see DynamicPSPHead — pools map to tail rows)
         psp_feat = DynConvModule(self.channels, 3, norm="bn", act="relu",
                                  bn_groups=self.bn_groups,
                                  dtype=self.dtype, name="psp_bottleneck")(
-            jnp.concatenate(psp_outs, axis=-1), train=train)
+            jnp.concatenate(psp_outs, axis=-1), train=train,
+            in_tail=len(self.pool_scales) * self.channels)
 
         # laterals (1x1) for the shallower levels (:49-70)
         laterals = []

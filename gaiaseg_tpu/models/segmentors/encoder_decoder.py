@@ -82,8 +82,9 @@ class DynamicEncoderDecoder(nn.Module):
         # backbone bounds degrade to a no-op (MAX execution, identical
         # numerics) instead of a TypeError — the train loop builds the
         # bucketer unconditionally.
-        if bounds is not None and getattr(bounds, "body_depth", None) \
-                is not None \
+        if bounds is not None \
+                and any(getattr(bounds, f, None) is not None
+                        for f in ("body_depth", "body_width", "stem_width")) \
                 and getattr(self.backbone_m, "supports_bounds", False):
             feats = self.backbone_m(img, arch["backbone"], train=train,
                                     bounds=bounds)
@@ -106,7 +107,8 @@ class DynamicEncoderDecoder(nn.Module):
 
     # ------------------------------------------------------------------ #
     def forward_train(self, img: Array, gt: Array, arch: Dict[str, Any],
-                      compute_acc: bool = True, bounds=None
+                      compute_acc: bool = True, bounds=None,
+                      train: bool = True
                       ) -> Tuple[Array, Dict[str, Array]]:
         """Returns (total_loss, log dict). ``gt`` is [N,H,W] int with 255
         ignore (loss resizes logits to label size,
@@ -116,12 +118,17 @@ class DynamicEncoderDecoder(nn.Module):
         them as jit outputs blocks XLA's fusion/remat of the upsampled
         logits and costs ~2.2x step time on v5e (121.6 vs 56.4 ms measured
         at 512x512 batch 8) — the train loop logs accuracy via the periodic
-        eval hook instead."""
-        feats = self.extract_feat(img, arch, train=True, bounds=bounds)
+        eval hook instead.
+
+        ``train=False`` computes the same losses in eval mode (BN running
+        stats, no dropout) — the val workflow phase uses it so val_loss
+        matches mmcv's ``model.eval()`` val semantics (reference
+        IterBasedRunner val workflow)."""
+        feats = self.extract_feat(img, arch, train=train, bounds=bounds)
         label_hw = gt.shape[1:3]
         losses: Dict[str, Array] = {}
 
-        dec = self.decode_head_m(feats, train=True)
+        dec = self.decode_head_m(feats, train=train)
         dec = resize_bilinear(dec, label_hw, self.align_corners)
         losses["decode.loss_seg"] = self.loss_decode(dec, gt)
         if compute_acc:
@@ -129,7 +136,7 @@ class DynamicEncoderDecoder(nn.Module):
 
         for i, (head, loss_fn) in enumerate(zip(self.aux_heads,
                                                 self.aux_losses)):
-            a = head(feats, train=True)
+            a = head(feats, train=train)
             a = resize_bilinear(a, label_hw, self.align_corners)
             losses[f"aux_{i}.loss_seg"] = loss_fn(a, gt)
             if compute_acc:

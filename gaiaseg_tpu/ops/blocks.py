@@ -46,15 +46,20 @@ class DynConvModule(nn.Module):
     @nn.compact
     def __call__(self, x: Array, out_mask: Optional[Array] = None, *,
                  train: bool = False,
-                 update_gate: Optional[Array] = None) -> Array:
+                 update_gate: Optional[Array] = None,
+                 in_tail: Optional[int] = None) -> Array:
         bias = self.use_bias if self.use_bias is not None else self.norm is None
         # when a masked norm follows, the conv-level mask is redundant (the
         # norm's folded scale/bias zeroes inactive lanes) — skip one
         # elementwise pass per conv
         conv_mask = out_mask if self.norm is None else None
+        # the mask LENGTH is the static execution bound (see DynConv2d):
+        # a shorter-than-MAX mask truncates the produced channels
+        oslice = out_mask.shape[-1] if out_mask is not None else None
         y = DynConv2d(self.features, self.kernel_size, self.strides,
                       self.dilation, use_bias=bias, dtype=self.dtype,
-                      name="conv")(x, conv_mask)
+                      name="conv")(x, conv_mask, out_slice=oslice,
+                                   in_tail=in_tail)
         if self.norm == "bn":
             y = DynBatchNorm(self.features, dtype=self.dtype,
                              stat_groups=self.bn_groups, name="bn")(
@@ -82,32 +87,42 @@ class DynBottleneck(nn.Module):
     has_downsample: bool = False
     avg_down: bool = False
     bn_groups: int = 1          # BN stat groups (DynBatchNorm)
+    width_bound: int = 0        # STATIC mid-width execution bound; 0 = MAX.
+                                # Convs/BN run on the first ``width_bound``
+                                # lanes only (gaiavision slice semantics,
+                                # reference dynamic_res_layer.py:154-157);
+                                # traced ``width`` <= bound masks within it.
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array, width: Array, out_mask: Array, *,
                  train: bool = False,
                  active: Optional[Array] = None) -> Array:
-        mid_mask = channel_mask(width, self.planes, self.dtype)
+        wb = self.planes
+        if self.width_bound and not self.is_initializing():
+            wb = min(self.width_bound, self.planes)
+        mid_mask = channel_mask(width, wb, self.dtype)
         gate = active if active is not None else None
         out_ch = self.planes * self.expansion
+        ob = out_mask.shape[-1]     # static out bound (= wb*expansion)
 
         y = DynConv2d(self.planes, 1, 1, use_bias=False, dtype=self.dtype,
-                      name="conv1")(x)  # bn1 masks
+                      name="conv1")(x, out_slice=wb)  # bn1 masks
         y = DynBatchNorm(self.planes, dtype=self.dtype,
                          stat_groups=self.bn_groups, name="bn1")(
             y, mid_mask, use_running_average=not train, update_gate=gate)
         y = nn.relu(y)
 
         y = DynConv2d(self.planes, 3, self.strides, self.dilation,
-                      use_bias=False, dtype=self.dtype, name="conv2")(y)
+                      use_bias=False, dtype=self.dtype, name="conv2")(
+            y, out_slice=wb)
         y = DynBatchNorm(self.planes, dtype=self.dtype,
                          stat_groups=self.bn_groups, name="bn2")(
             y, mid_mask, use_running_average=not train, update_gate=gate)
         y = nn.relu(y)
 
         y = DynConv2d(out_ch, 1, 1, use_bias=False, dtype=self.dtype,
-                      name="conv3")(y)
+                      name="conv3")(y, out_slice=ob)
         y = DynBatchNorm(out_ch, dtype=self.dtype,
                          stat_groups=self.bn_groups, name="bn3")(
             y, out_mask, use_running_average=not train, update_gate=gate)
@@ -123,7 +138,7 @@ class DynBottleneck(nn.Module):
                 ds_stride = self.strides
             identity = DynConv2d(out_ch, 1, ds_stride, use_bias=False,
                                  dtype=self.dtype, name="downsample_conv")(
-                identity)
+                identity, out_slice=ob)
             identity = DynBatchNorm(out_ch, dtype=self.dtype,
                                     stat_groups=self.bn_groups,
                                     name="downsample_bn")(

@@ -39,6 +39,13 @@ def _pair(v) -> Tuple[int, int]:
 conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
+def _stored_shape(mod: nn.Module, name: str):
+    """Shape of an already-created param (apply time), else None (init)."""
+    if mod.has_variable("params", name):
+        return mod.get_variable("params", name).shape
+    return None
+
+
 class DynConv2d(nn.Module):
     """Conv2d over NHWC with traced-width output masking.
 
@@ -46,6 +53,16 @@ class DynConv2d(nn.Module):
     reference configs, e.g. pspnet_ar50to101v2_gsync.py:19). Padding is
     torch-style symmetric ``dilation*(k-1)//2`` so converted PyTorch
     checkpoints are bit-faithful at borders.
+
+    Width-proportional execution (the gaiavision *slice* model,
+    reference dynamic_res_layer.py:154-157, as a STATIC fast path): params
+    live at MAX shape, but the executed contraction can be sliced to a
+    static bound. The input bound is implicit — when ``x`` carries fewer
+    channels than the stored kernel's in-dim, kernel rows are prefix-sliced
+    to match (``in_segments`` overrides with per-segment (start, stop) row
+    ranges for concat inputs whose first segment shrank). ``out_slice``
+    truncates the produced channels. Masking guarantees every active lane's
+    value is identical to the MAX program up to float reduction order.
     """
 
     features: int                      # MAX output channels
@@ -62,14 +79,35 @@ class DynConv2d(nn.Module):
     kernel_init: Callable = conv_kernel_init
 
     @nn.compact
-    def __call__(self, x: Array, out_mask: Optional[Array] = None) -> Array:
+    def __call__(self, x: Array, out_mask: Optional[Array] = None,
+                 out_slice: Optional[int] = None,
+                 in_tail: Optional[int] = None) -> Array:
         kh, kw = _pair(self.kernel_size)
         sh, sw = _pair(self.strides)
         dh, dw = _pair(self.dilation)
         in_ch = x.shape[-1]
+        # grouped (depthwise) convs pin the group count to MAX channels, so
+        # they cannot take a prefix-sliced input — bounds never reach them
+        stored = _stored_shape(self, "kernel") if self.groups == 1 else None
+        in_max = stored[2] if stored is not None else in_ch // self.groups
         kernel = self.param(
             "kernel", self.kernel_init,
-            (kh, kw, in_ch // self.groups, self.features), self.param_dtype)
+            (kh, kw, in_max, self.features), self.param_dtype)
+        if in_ch // self.groups < in_max:
+            if in_tail:
+                # input = [elastic prefix, static tail]: the tail maps to
+                # the LAST ``in_tail`` kernel rows (concat consumers whose
+                # first segment shrank under a width bound — the executed
+                # analog of the reference's channel_record slicing,
+                # reference psp_head.py:235-239)
+                head_rows = in_ch - in_tail
+                kernel = jnp.concatenate(
+                    [kernel[:, :, :head_rows, :],
+                     kernel[:, :, in_max - in_tail:, :]], axis=2)
+            else:
+                kernel = kernel[:, :, :in_ch // self.groups, :]
+        if out_slice is not None and out_slice < self.features:
+            kernel = kernel[..., :out_slice]
         if self.padding is None:
             pad_h = dh * (kh - 1) // 2
             pad_w = dw * (kw - 1) // 2
@@ -87,6 +125,8 @@ class DynConv2d(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), self.param_dtype)
+            if y.shape[-1] < self.features:
+                bias = bias[:y.shape[-1]]
             y = y + bias.astype(self.dtype)
         if out_mask is not None:
             y = y * out_mask.astype(self.dtype)
@@ -104,13 +144,22 @@ class DynLinear(nn.Module):
     kernel_init: Callable = nn.initializers.lecun_normal()
 
     @nn.compact
-    def __call__(self, x: Array, out_mask: Optional[Array] = None) -> Array:
+    def __call__(self, x: Array, out_mask: Optional[Array] = None,
+                 out_slice: Optional[int] = None) -> Array:
+        stored = _stored_shape(self, "kernel")
+        in_max = stored[0] if stored is not None else x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
-                            (x.shape[-1], self.features), self.param_dtype)
+                            (in_max, self.features), self.param_dtype)
+        if x.shape[-1] < in_max:
+            kernel = kernel[:x.shape[-1], :]
+        if out_slice is not None and out_slice < self.features:
+            kernel = kernel[:, :out_slice]
         y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), self.param_dtype)
+            if y.shape[-1] < self.features:
+                bias = bias[:y.shape[-1]]
             y = y + bias.astype(self.dtype)
         if out_mask is not None:
             y = y * out_mask.astype(self.dtype)
@@ -147,19 +196,32 @@ class DynBatchNorm(nn.Module):
         """``update_gate``: optional traced bool — running stats update is
         skipped when False (inactive depth-masked blocks must not pollute
         stats)."""
-        c = self.features
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        c_max = self.features
+        # width-bounded fast path: a prefix-sliced input executes BN on the
+        # first x.shape[-1] channels only; params/stats stay at MAX shape
+        # and the running-stat update writes back into the prefix. Per-
+        # channel stats are unchanged by slicing, so active-lane numerics
+        # are identical to the MAX program.
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c_max,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c_max,),
+                          jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
-                                lambda: jnp.zeros((c,), jnp.float32))
+                                lambda: jnp.zeros((c_max,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
-                               lambda: jnp.ones((c,), jnp.float32))
+                               lambda: jnp.ones((c_max,), jnp.float32))
+        if c < c_max:
+            scale, bias = scale[:c], bias[:c]
+            ra_mean_v, ra_var_v = ra_mean.value[:c], ra_var.value[:c]
+        else:
+            ra_mean_v, ra_var_v = ra_mean.value, ra_var.value
 
         g = self.stat_groups if not self.is_initializing() else 1
         if g > 1 and x.shape[0] % g != 0:
             g = 1
         if use_running_average:
-            mean, var = ra_mean.value, ra_var.value
+            mean, var = ra_mean_v, ra_var_v
             stat_mean = stat_var = None
         elif g > 1:
             per = x.shape[0] // g
@@ -191,12 +253,18 @@ class DynBatchNorm(nn.Module):
             gate = jnp.ones((c,), bool) if mask is None else (mask > 0)
             if update_gate is not None:
                 gate = jnp.logical_and(gate, update_gate)
-            new_mean = self.momentum * ra_mean.value \
+            new_mean = self.momentum * ra_mean_v \
                 + (1 - self.momentum) * stat_mean
-            new_var = self.momentum * ra_var.value \
+            new_var = self.momentum * ra_var_v \
                 + (1 - self.momentum) * stat_var
-            ra_mean.value = jnp.where(gate, new_mean, ra_mean.value)
-            ra_var.value = jnp.where(gate, new_var, ra_var.value)
+            new_mean = jnp.where(gate, new_mean, ra_mean_v)
+            new_var = jnp.where(gate, new_var, ra_var_v)
+            if c < c_max:
+                ra_mean.value = ra_mean.value.at[:c].set(new_mean)
+                ra_var.value = ra_var.value.at[:c].set(new_var)
+            else:
+                ra_mean.value = new_mean
+                ra_var.value = new_var
 
         # fold normalization into per-channel scale'/bias' and apply in the
         # compute dtype: one fused multiply-add over activations (XLA merges
@@ -233,10 +301,15 @@ class DynLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
-        c = self.features
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        c_max = self.features
         axis = -1 if self.data_format == "channels_last" else 1
+        c = x.shape[axis]    # < c_max under a width-bounded prefix slice
+        scale = self.param("scale", nn.initializers.ones, (c_max,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c_max,),
+                          jnp.float32)
+        if c < c_max:
+            scale, bias = scale[:c], bias[:c]
         xf = x.astype(jnp.float32)
         if mask is None:
             mean = jnp.mean(xf, axis=axis, keepdims=True)

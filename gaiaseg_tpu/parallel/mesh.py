@@ -75,7 +75,13 @@ def tp_spec(path: str, shape, tp: int,
     if tp <= 1 or len(shape) < 2:
         return P()
     nd = len(shape)
-    if any(k in path for k in ("proj", "fc2")) and shape[-2] % tp == 0 \
+    # whole path-segment match: the attention out-projection module is
+    # named exactly "proj" (elastic_transformer.py) — a substring match
+    # would also hit e.g. an ASPP head's "c1_proj" conv and row-shard a
+    # non-Megatron-paired kernel (correct under GSPMD but inserts
+    # unintended resharding collectives)
+    segs = path.split("/")
+    if any(k in segs for k in ("proj", "fc2")) and shape[-2] % tp == 0 \
             and int(np.prod(shape)) >= min_size:
         return P(*([None] * (nd - 2)), MODEL_AXIS, None)
     if shape[-1] % tp == 0 and int(np.prod(shape)) >= min_size:

@@ -69,8 +69,10 @@ def test_distiller_train_step_and_frozen_teacher():
 
 
 def test_teacher_checkpoint_load_from_torch_pth(tmp_path):
-    """A real torch BEiT .pth loads into the distiller's frozen teacher
-    (reference dynamic_distiller.py:195-200 teacher_ckpt path)."""
+    """A FULL torch teacher segmentor .pth (backbone.* + decode_head.*)
+    loads into the distiller's frozen teacher — the reference loads a full
+    segmentor checkpoint (reference dynamic_distiller.py:195-200), so a
+    backbone-only ckpt leaving t_decode_head at random init must raise."""
     import pytest
     torch = pytest.importorskip("torch")
     from test_vit_convert import TBeit, _rand
@@ -86,17 +88,54 @@ def test_teacher_checkpoint_load_from_torch_pth(tmp_path):
 
     tmodel = TBeit(dim=32, heads=2, depth=2, patch=8, grid=4).eval()
     _rand(tmodel)
-    path = str(tmp_path / "teacher.pth")
-    torch.save({"state_dict": {"backbone." + k: v for k, v in
-                               tmodel.state_dict().items()}}, path)
+    sd = {"backbone." + k: v for k, v in tmodel.state_dict().items()}
 
-    new_params = load_teacher_checkpoint(path, variables["params"])
+    # backbone-only ckpt: silently-random teacher head is an error
+    bb_path = str(tmp_path / "teacher_bb_only.pth")
+    torch.save({"state_dict": dict(sd)}, bb_path)
+    with pytest.raises(ValueError, match="decode_head"):
+        load_teacher_checkpoint(bb_path, variables["params"],
+                                variables["batch_stats"], DISTILLER)
+
+    # full teacher: reference-layout FCN head keys (convs.{i}.conv/bn,
+    # conv_seg) convert into t_decode_head
+    rs = np.random.RandomState(3)
+    tdh = variables["params"]["t_decode_head"]
+    k0 = np.asarray(tdh["conv0"]["conv"]["kernel"])    # (kh,kw,in,out)
+    w0 = rs.randn(k0.shape[3], k0.shape[2],
+                  k0.shape[0], k0.shape[1]).astype(np.float32)
+    ws = rs.randn(4, k0.shape[3], 1, 1).astype(np.float32)
+    sd.update({
+        "decode_head.convs.0.conv.weight": torch.tensor(w0),
+        "decode_head.convs.0.bn.weight":
+            torch.tensor(rs.randn(k0.shape[3]).astype(np.float32)),
+        "decode_head.convs.0.bn.bias":
+            torch.tensor(rs.randn(k0.shape[3]).astype(np.float32)),
+        "decode_head.convs.0.bn.running_mean":
+            torch.tensor(rs.randn(k0.shape[3]).astype(np.float32)),
+        "decode_head.convs.0.bn.running_var":
+            torch.tensor(np.abs(rs.randn(k0.shape[3])).astype(np.float32)),
+        "decode_head.conv_seg.weight": torch.tensor(ws),
+        "decode_head.conv_seg.bias":
+            torch.tensor(rs.randn(4).astype(np.float32)),
+    })
+    path = str(tmp_path / "teacher.pth")
+    torch.save({"state_dict": sd}, path)
+
+    new_params, new_stats = load_teacher_checkpoint(
+        path, variables["params"], variables["batch_stats"], DISTILLER)
     got = np.asarray(new_params["t_backbone"]["block0"]["qkv"]["kernel"])
     want = tmodel.blocks[0].attn.qkv.weight.detach().numpy().T
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    got_h = np.asarray(new_params["t_decode_head"]["conv0"]["conv"]["kernel"])
+    np.testing.assert_allclose(got_h, w0.transpose(2, 3, 1, 0),
+                               rtol=1e-6, atol=1e-6)
+    got_s = np.asarray(new_params["t_decode_head"]["conv_seg"]["kernel"])
+    np.testing.assert_allclose(got_s, ws.transpose(2, 3, 1, 0),
+                               rtol=1e-6, atol=1e-6)
     # distiller forward still runs with the loaded teacher
     (total, _), _ = model.apply(
-        {"params": new_params, "batch_stats": variables["batch_stats"]},
+        {"params": new_params, "batch_stats": new_stats},
         img, gt, arch, method="forward_train", mutable=["batch_stats"],
         rngs={"dropout": k})
     assert np.isfinite(float(total))

@@ -51,7 +51,8 @@ def main():
     from gaiaseg_tpu.engine.optim import build_lr_schedule, build_optimizer
     from gaiaseg_tpu.models import (build_segmentor, encode_arch,
                                     model_max_arch)
-    from gaiaseg_tpu.models.arch_util import make_depth_bucketer
+    from gaiaseg_tpu.models.arch_util import (cycle_bounds_seq,
+                                              make_depth_bucketer)
     from gaiaseg_tpu.utils import Config
 
     cfg = Config.fromfile(args.config)
@@ -63,22 +64,20 @@ def main():
     sampler = build_model_sampler(sampler_cfg)
     bucketer = make_depth_bucketer(sampler, max_arch)
 
-    # the anchor positions of one sandwich cycle (names pin them)
-    metas = [sampler.sample() for _ in range(64)]
-    cycle, rnd_buckets = [], []
-    for m in metas:
-        if m.get("name"):
-            if all(m.get("name") != c.get("name") for c in cycle):
-                cycle.append(m)
-        else:
-            b = bucketer(m)
-            if b not in rnd_buckets:
-                rnd_buckets.append(b)
+    # enumerate reachable cycle variants by replaying the sampler through
+    # the SAME shared enumeration the train loop dispatches
+    # (arch_util.cycle_bounds_seq) — a hand-rolled mirror here would drift
+    # and silently reintroduce mid-run compiles
     k = int(cfg.get("steps_per_dispatch", 8))
-    n_rand = max(k - len(cycle), 0)
-    anchors = [bucketer(m) for m in cycle[:k]]
-    print(f"cycle: {len(cycle)} anchors + {n_rand} random slots; "
-          f"{len(rnd_buckets)} reachable covering buckets", flush=True)
+    cycle, variants = None, []
+    for _ in range(64):
+        metas = [sampler.sample() for _ in range(k)]
+        if cycle is None:
+            cycle = metas
+        bseq = cycle_bounds_seq(metas, bucketer)
+        if bseq is not None and bseq not in variants:
+            variants.append(bseq)
+    print(f"{len(variants)} reachable cycle variants (k={k})", flush=True)
 
     sched_cfg = cfg.get("lr_config") or dict(policy="poly", power=0.9)
     schedule = build_lr_schedule(sched_cfg, 0.01, 1000)
