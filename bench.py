@@ -60,7 +60,9 @@ def main():
     from gaiaseg_tpu.engine.optim import build_lr_schedule, build_optimizer
     from gaiaseg_tpu.models import (build_segmentor, encode_arch,
                                     model_max_arch)
-    from gaiaseg_tpu.models.arch_util import (cycle_bounds_seq,
+    from gaiaseg_tpu.archspace.complexity import get_model_complexity_info
+    from gaiaseg_tpu.models.arch_util import (bounds_arch, canonical_arch,
+                                              cycle_bounds_seq,
                                               exact_bounds,
                                               make_depth_bucketer)
     from gaiaseg_tpu.utils import Config
@@ -69,6 +71,23 @@ def main():
     n_chips = jax.device_count()
     model = build_segmentor(ge._FLAGSHIP)
     max_arch = model_max_arch(ge._FLAGSHIP)
+
+    # bf16 peak for MFU (spec sheets; v5e also measured ~183 TF/s on this
+    # relay — see .claude/skills/verify/SKILL.md)
+    kind = str(jax.devices()[0].device_kind).lower()
+    peak_tflops = next(
+        (v for k, v in (("v5 lite", 197.0), ("v5e", 197.0),
+                        ("v6 lite", 918.0), ("v6e", 918.0),
+                        ("v5p", 459.0), ("v4", 275.0)) if k in kind), None)
+
+    def gflops(arch, hw):
+        """Analytic forward GFLOPs/img at input (3, H, W)."""
+        return get_model_complexity_info(
+            ge._FLAGSHIP, arch, input_shape=(3,) + tuple(hw))["flops"] / 1e9
+
+    def mfu(tflops_per_sec):
+        return round(tflops_per_sec / peak_tflops, 4) if peak_tflops \
+            else None
 
     sampler_cfg = Config.fromfile(
         "configs/_dynamic_/model_samplers/ar50to101v2.py")
@@ -168,6 +187,70 @@ def main():
             raise
     del state, img, gt, imgs_k, gts_k
 
+    # ---- steady-state e2e train throughput (real loader + augment) ----- #
+    # The dispatch-only numbers above exclude host IO/augment. This drives
+    # the REAL train loop (engine/train.py: packed-dataset reads, device
+    # augment, shard_batch, bounded-cycle dispatch) for a short run and
+    # reads the steady-state img/s the loop itself logs — the number a
+    # production user sees (reference §3.1 hot loop with DataLoader
+    # workers overlapped).
+    train_ips_e2e = None
+    try:
+        import os
+        import tempfile
+        from gaiaseg_tpu.data.datasets import SyntheticDataset
+        from gaiaseg_tpu.data.packed import PackedDataset, pack_dataset
+        from gaiaseg_tpu.engine import train_segmentor
+
+        pack_path = os.path.join(tempfile.gettempdir(),
+                                 "gaiaseg_bench_e2e_512.gsegpack")
+        if not os.path.exists(pack_path):
+            log("packing 64-image synthetic 512x512 dataset...")
+            pack_dataset(SyntheticDataset(length=64, size=(512, 512),
+                                          num_classes=19, cells=8),
+                         pack_path)
+        e2e_iters = 64
+        e2e_cfg = {
+            "model": ge._FLAGSHIP,
+            "data": {
+                "samples_per_gpu": batch // n_chips,
+                "train": {"type": "PackedDataset", "path": pack_path,
+                          "classes": [f"c{i}" for i in range(19)],
+                          "pipeline": [
+                              dict(type="RandomCrop",
+                                   crop_size=(512, 512)),
+                              dict(type="RandomFlip", prob=0.5),
+                              dict(type="Normalize",
+                                   mean=[123.675, 116.28, 103.53],
+                                   std=[58.395, 57.12, 57.375]),
+                          ]},
+            },
+            "train_sampler": sampler_cfg["train_sampler"],
+            "optimizer": dict(type="SGD", lr=0.01, momentum=0.9,
+                              weight_decay=5e-4),
+            "optimizer_config": dict(grad_clip=dict(max_norm=20)),
+            "lr_config": dict(policy="poly", power=0.9),
+            "runner": dict(max_iters=e2e_iters),
+            "steps_per_dispatch": 8,
+            "log_config": dict(interval=16),
+            "checkpoint_config": dict(interval=10 ** 9),
+            "evaluation": dict(interval=10 ** 9),
+        }
+        log(f"timing e2e train loop ({e2e_iters} iters, packed loader)...")
+        with tempfile.TemporaryDirectory() as wd:
+            _, hist = train_segmentor(
+                build_segmentor(ge._FLAGSHIP), e2e_cfg, work_dir=wd)
+        rows = hist.get("loss") or []
+        if rows:
+            # steady state: skip the first log window (compile/warmup)
+            tail = rows[1:] or rows
+            train_ips_e2e = float(np.mean([r["img_per_sec"]
+                                           for r in tail]))
+            log(f"e2e train: {train_ips_e2e:.2f} img/s "
+                f"(windows: {[round(r['img_per_sec'], 1) for r in rows]})")
+    except Exception as e:
+        log(f"e2e train measurement failed: {e!r}")
+
     # ---- slide inference at 1024x2048 (R50 anchor) --------------------- #
     r50_meta = {"arch.backbone.stem.width": 64,
                 "arch.backbone.body.width": [64, 128, 256, 512],
@@ -228,7 +311,7 @@ def main():
         try:
             pop_step = population_eval_steps(model, model.num_classes)
             groups = group_population(pop_metas, bucketer)
-            weighted_ms = 0.0
+            weighted_ms = weighted_gf = 0.0
             for g_bounds, idxs in groups:
                 # pad the stack to a fixed vmap width: one program per
                 # bucket regardless of group size (padding cost is charged
@@ -243,6 +326,8 @@ def main():
                                        bounds=g_bounds), 1, 2)
                 per_arch = dt_g / (chunk * n_img)
                 weighted_ms += per_arch * len(idxs)
+                weighted_gf += gflops(bounds_arch(max_arch, g_bounds),
+                                      (1024, 2048)) * len(idxs)
                 log(f"population bucket {g_bounds.body_depth} x{len(idxs)}"
                     f": {per_arch * 1e3:.2f} ms/(arch*img)")
             pop_per_arch_img = weighted_ms / len(pop_metas)
@@ -263,18 +348,48 @@ def main():
         if pop_per_arch_img else None)
     log(f"subnets/hr at {n_val}-img val sweep: {subnets_per_hour_fullval}")
 
+    # ---- analytic-FLOPs MFU accounting ------------------------------- #
+    # EXECUTED = what the bounded masked program computes (the bound's
+    # static shapes); NOMINAL = what the sampled subnet needs (reference
+    # count_flops semantics). Train step ~ 3x forward FLOPs (fwd + both
+    # backward passes). All per-chip.
+    exec_cycle = float(np.mean([gflops(bounds_arch(max_arch, b), (512, 512))
+                                for b in arch_bounds]))
+    nom_cycle = float(np.mean([gflops(canonical_arch(max_arch, m),
+                                      (512, 512)) for m in metas]))
+    train_tf_exec = 3 * exec_cycle * (train_ips_k8 or 0.0) / 1e3
+    train_tf_nom = 3 * nom_cycle * (train_ips_k8 or 0.0) / 1e3
+    r50_arch = canonical_arch(max_arch, r50_meta)
+    slide_gf_exec = 9 * gflops(bounds_arch(max_arch, r50_bounds),
+                               (512, 1024))   # 3x3 window grid
+    slide_gf_nom = 9 * gflops(r50_arch, (512, 1024))
+    slide_tf = slide_gf_exec * slide_ips / 1e3
+    ext_tf = slide_gf_nom * ext_slide_ips / 1e3
+    pop_tf = (weighted_gf / (weighted_ms * 1e3)
+              if pop_per_arch_img else None)
+
     best_train = max(v for v in (train_ips, train_ips_k8) if v is not None)
     result = {
         "metric": "supernet_train_512x512_images_per_sec_per_chip",
         "value": round(float(best_train), 3),
         "unit": "img/s/chip",
-        "vs_baseline": None,
+        # the reference publishes NO benchmark numbers (BASELINE.md: README
+        # has none, BASELINE.json published={}), so the only quantified
+        # target is the >=500 subnets/hr north star — vs_baseline is the
+        # measured subnets/hr against that target. The 2x-A100 slide
+        # target has no measurable baseline anywhere.
+        "vs_baseline": round(subnets_per_hour_fullval / 500.0, 3)
+            if subnets_per_hour_fullval else None,
+        "baseline_note": "ratio vs the >=500 subnets/hr target "
+            "(BASELINE.md north star); reference publishes no throughput",
         "extras": {
             "train_batch": batch,
             "train_img_per_sec_max_masked": round(float(train_ips), 3)
                 if train_ips else None,
             "train_img_per_sec_bounded_cycle": round(float(train_ips_k8), 3)
                 if train_ips_k8 else None,
+            "train_img_per_sec_e2e": round(float(train_ips_e2e), 3)
+                if train_ips_e2e else None,
             "slide_1024x2048_img_per_sec_per_chip": round(float(slide_ips), 4),
             "extracted_r50_slide_img_per_sec_per_chip":
                 round(float(ext_slide_ips), 4),
@@ -287,6 +402,20 @@ def main():
                 if pop_per_arch_img else None,
             "n_chips": n_chips,
             "device": str(jax.devices()[0].device_kind),
+            "peak_bf16_tflops": peak_tflops,
+            "train_gflops_per_img_executed": round(exec_cycle, 1),
+            "train_gflops_per_img_nominal": round(nom_cycle, 1),
+            "train_tflops_per_sec": round(train_tf_exec, 1),
+            "train_mfu_executed": mfu(train_tf_exec),
+            "train_mfu_nominal": mfu(train_tf_nom),
+            "slide_gflops_per_img_executed": round(slide_gf_exec, 1),
+            "slide_tflops_per_sec": round(slide_tf, 1),
+            "slide_mfu_executed": mfu(slide_tf),
+            "extracted_slide_tflops_per_sec": round(ext_tf, 1),
+            "extracted_slide_mfu": mfu(ext_tf),
+            "population_tflops_per_sec": round(pop_tf, 1)
+                if pop_tf else None,
+            "population_mfu": mfu(pop_tf) if pop_tf else None,
         },
     }
     print(json.dumps(result))

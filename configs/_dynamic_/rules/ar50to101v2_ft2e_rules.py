@@ -1,11 +1,21 @@
-# Model-space query rules: R50-class FLOPs band, group by input scale x
-# depth bucket, sample 10 per group, merge (capability parity with reference
-# configs/_dynamic_/rules/ar50to101v2_rules.py).
-model_space_path = 'work_dirs/flops/flops.json'
+# Post-eval selection for the ft2e fast-finetune sweep (capability parity
+# with reference configs/_dynamic_/rules/ar50to101v2_ft2e_rules.py):
+# keep the top-50% subnets by supernet-eval mIoU, group by input scale and
+# by total depth band, sample a few per group, merge. (The reference file
+# keys on 'metric.coco_bbox_mAP' — a detection vestige; the segmentation
+# sweep tags 'metric.metric.mIoU' via tools/test_supernet.py.)
+model_space_path = 'work_dirs/test/test_supernet/metrics.json'
 model_sampling_rules = dict(
     type='sequential',
     rules=[
-        dict(func_str="lambda x: 135e9 <= x['overhead.flops'] <= 140e9"),
+        # 1. top 50% by supernet-eval mIoU
+        dict(
+            type='sample',
+            operation='top',
+            key='metric.metric.mIoU',
+            value=0.5,
+            mode='ratio'),
+        # 2. input-scale groups
         dict(
             type='parallel',
             rules=[
@@ -15,6 +25,7 @@ model_sampling_rules = dict(
                 dict(func_str="lambda x: x['data.input_shape'][-2] == 720"),
                 dict(func_str="lambda x: x['data.input_shape'][-2] == 800"),
             ]),
+        # 3. total-depth bands
         dict(
             type='parallel',
             rules=[
@@ -24,6 +35,7 @@ model_sampling_rules = dict(
                 dict(func_str="lambda x: 32 <= sum(x['arch.backbone.body.depth']) < 38"),
                 dict(func_str="lambda x: 39 <= sum(x['arch.backbone.body.depth']) < 44"),
             ]),
-        dict(type='sample', operation='random', value=10, mode='number'),
+        # 4. sample per (scale x depth-band) group, 5. merge
+        dict(type='sample', operation='random', value=1, mode='number'),
         dict(type='merge'),
     ])

@@ -589,7 +589,12 @@ def train_segmentor(model, cfg, *, work_dir: str,
                 it, max_iters, loss_acc / max(n_acc, 1), lr_now, ips)
             history["loss"].append(
                 {"iter": it, "loss": loss_acc / max(n_acc, 1),
-                 "img_per_sec": ips})
+                 "img_per_sec": ips,
+                 # component losses from the latest full step (e.g. the
+                 # distiller's distill_loss_seg / pairwise_loss_seg) so
+                 # history.json suffices to audit a run's loss breakdown
+                 **{k: float(v) for k, v in logs.items()
+                    if "loss" in k and k != "loss"}})
             loss_acc, n_acc = 0.0, 0
             t_last = time.time()
         if progress_cb:

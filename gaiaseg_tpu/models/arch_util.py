@@ -205,6 +205,30 @@ def cycle_bounds_seq(metas, bucketer) -> Optional[tuple]:
     return tuple(bounds)
 
 
+def bounds_arch(max_arch: Dict[str, Any],
+                bounds: Optional[ArchBounds]) -> Dict[str, Any]:
+    """Nested arch dict whose shapes are what a BOUNDED program executes
+    (MAX where unbounded) — masked execution pays the bound's cost, not
+    the subnet's, so feeding this to ``get_model_complexity_info`` yields
+    EXECUTED FLOPs for MFU accounting (vs nominal FLOPs at the subnet's
+    own meta, reference tools/count_flops.py semantics)."""
+    arch = canonical_arch(max_arch)
+    body = (arch.get("backbone") or {}).get("body")
+    stem = (arch.get("backbone") or {}).get("stem")
+    if bounds is None or body is None:
+        return arch
+    if bounds.body_depth is not None:
+        body["depth"] = list(bounds.body_depth)
+    if bounds.body_width is not None:
+        body["width"] = list(bounds.body_width)
+    if bounds.stem_width is not None and stem is not None:
+        w = stem.get("width")
+        stem["width"] = [min(int(x), int(bounds.stem_width)) for x in w] \
+            if isinstance(w, (list, tuple)) else \
+            min(int(w), int(bounds.stem_width))
+    return arch
+
+
 def make_depth_bucketer(sampler, max_arch: Dict[str, Any],
                         n_levels: int = 4):
     """meta -> ArchBounds with a BOUNDED number of distinct outputs.

@@ -70,10 +70,13 @@ class DynamicDistiller(DynamicEncoderDecoder):
         return feats, logits
 
     def forward_train(self, img: Array, gt: Array, arch: Dict[str, Any],
-                      compute_acc: bool = True
+                      compute_acc: bool = True, bounds=None
                       ) -> Tuple[Array, Dict[str, Array]]:
+        # ``bounds`` applies to the elastic STUDENT backbone only (the
+        # frozen teacher is static) — the train loop's bounded-cycle
+        # dispatch passes it positionally (engine/train.py make_train_step)
         temperature, w_distill, w_pair = self._distill_params()
-        feats = self.extract_feat(img, arch, train=True)
+        feats = self.extract_feat(img, arch, train=True, bounds=bounds)
         label_hw = gt.shape[1:3]
         losses: Dict[str, Array] = {}
 

@@ -107,6 +107,23 @@ def shard_state(tree: Any, mesh: Mesh, min_size: int = 1 << 16) -> Any:
     return jax.tree_util.tree_map_with_path(place, tree)
 
 
+def shard_report(tree: Any) -> Dict[str, str]:
+    """{path: partition spec} for every leaf sharded over the ``model``
+    axis — the audit trail for ``shard_state`` (a substring-matching spec
+    rule that silently sharded the wrong leaves once; tests assert on this
+    report so the rule set stays anchored)."""
+    report: Dict[str, str] = {}
+
+    def visit(path, x):
+        spec = getattr(getattr(x, "sharding", None), "spec", None)
+        if spec and any(MODEL_AXIS in str(s) for s in spec
+                        if s is not None):
+            report[_path_str(path)] = str(spec)
+
+    jax.tree_util.tree_map_with_path(visit, tree)
+    return report
+
+
 def local_device_count() -> int:
     return jax.local_device_count()
 

@@ -29,3 +29,35 @@ def test_config_loads_and_builds(path):
             assert isinstance(meta, dict) and meta
     if "model_sampling_rules" in cfg:
         assert build_sample_rule(cfg["model_sampling_rules"]) is not None
+
+
+def test_pinned_arch_rule_configs_select_their_anchor(tmp_path):
+    """r50_s560 / r101_s640 rule configs really pin their named arch+scale
+    over a count_flops-shaped model space (reference rules surface,
+    configs/_dynamic_/rules/)."""
+    import json
+
+    from gaiaseg_tpu.archspace import ModelSpace
+    rows = [
+        {"arch": {"backbone": {"stem": {"width": 64},
+                               "body": {"width": [64, 128, 256, 512],
+                                        "depth": [3, 4, 6, 3]}}},
+         "data": {"input_shape": [3, 560, 1120]}},
+        {"arch": {"backbone": {"stem": {"width": 64},
+                               "body": {"width": [64, 128, 256, 512],
+                                        "depth": [3, 4, 23, 3]}}},
+         "data": {"input_shape": [3, 640, 1280]}},
+        {"arch": {"backbone": {"stem": {"width": 32},
+                               "body": {"width": [48, 96, 192, 384],
+                                        "depth": [2, 2, 5, 2]}}},
+         "data": {"input_shape": [3, 560, 1120]}},
+    ]
+    p = str(tmp_path / "space.json")
+    json.dump(rows, open(p, "w"))
+    for name, want in (("r50_s560_rules.py", (3, 4, 6, 3)),
+                       ("r101_s640_rules.py", (3, 4, 23, 3))):
+        cfg = Config.fromfile(osp.join(ROOT, "_dynamic_", "rules", name))
+        out = ModelSpace.load(p).apply_rule(
+            build_sample_rule(cfg["model_sampling_rules"])).pack()
+        assert len(out) == 1, name
+        assert tuple(out[0]["arch"]["backbone"]["body"]["depth"]) == want

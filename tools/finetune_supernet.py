@@ -56,8 +56,16 @@ def main():
     val_dataset = build_dataset(cfg["data"]["val"])
     test_pipe = parse_test_pipeline(cfg["data"]["val"].get("pipeline"))
 
-    out_rows = []
+    # restartable sweep: fast-finetune is the most expensive sweep in the
+    # system — a crash at subnet 40/50 must not lose the first 39
+    # (SURVEY §5; reference finetune_supernet.py:358 barriers per subnet)
+    from gaiaseg_tpu.utils.sweep import SweepLog
+    sweep = SweepLog(osp.join(args.work_dir, "fastft_metrics.jsonl"))
     for i, meta in enumerate(metas):
+        if sweep.done(meta):
+            logging.info("[%d/%d] already finetuned in a prior run, skip",
+                         i + 1, len(metas))
+            continue
         flat = fold_dict(meta)
         flat.setdefault("name", f"subnet_{i}")
         anchor = build_model_sampler(dict(type="anchor", anchors=[flat]))
@@ -72,15 +80,15 @@ def main():
                            encode_arch(max_arch, meta),
                            test_params=test_pipe,
                            batch_size=args.batch_size)
-        meta.setdefault("metric", {})[args.metric_tag] = metrics
-        out_rows.append(meta)
+        sweep.record(meta, metrics)
         logging.info("[%d/%d] %s mIoU=%.4f", i + 1, len(metas),
                      flat.get("name"), metrics["mIoU"])
 
     out = osp.join(args.work_dir, "fastft_metrics.json")
     os.makedirs(args.work_dir, exist_ok=True)
     with open(out, "w") as f:
-        json.dump(out_rows, f, indent=1, default=float)
+        json.dump(sweep.annotated(metas, args.metric_tag), f,
+                  indent=1, default=float)
     logging.info("dumped annotated model space -> %s", out)
 
 

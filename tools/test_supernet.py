@@ -73,7 +73,17 @@ def main():
                                ratios=test_pipe.img_ratios)
 
     os.makedirs(osp.join(args.work_dir, "test_supernet"), exist_ok=True)
-    out_rows = []
+    # restartable sweep: one flushed JSON line per scored subnet; a rerun
+    # after a crash skips finished subnets (SURVEY §5, reference
+    # finetune_supernet.py:358 barrier-per-subnet semantics)
+    from gaiaseg_tpu.utils.sweep import SweepLog
+    sweep = SweepLog(osp.join(args.work_dir, "test_supernet",
+                              "metrics.jsonl"))
+    all_metas = list(metas)
+    metas = [m for m in metas if not sweep.done(m)]
+    if len(all_metas) != len(metas):
+        logging.info("restart: %d/%d subnets already scored, skipping",
+                     len(all_metas) - len(metas), len(all_metas))
     if args.vmap and args.vmap > 1:
         from gaiaseg_tpu.engine.evaluate import evaluate_population
         # depth-bucketed sweep when a sampler is available: each subnet
@@ -94,11 +104,10 @@ def main():
                 metas=chunk if bucketer else None, bucketer=bucketer)
             dt = time.time() - t0
             for m, r in zip(chunk, results):
-                m.setdefault("metric", {})[args.metric_tag] = r
-                out_rows.append(m)
+                sweep.record(m, r)
             logging.info("[%d/%d] vmap population chunk of %d: "
-                         "%.1fs (%.0f subnets/hr)", len(out_rows),
-                         len(metas), len(chunk), dt,
+                         "%.1fs (%.0f subnets/hr)", len(sweep),
+                         len(all_metas), len(chunk), dt,
                          3600.0 * len(chunk) / dt)
         metas = []
     calib_ds = None
@@ -118,14 +127,14 @@ def main():
                            test_params=test_pipe, batch_size=args.batch_size,
                            flip=args.flip, eval_step=eval_step)
         dt = time.time() - t0
-        meta.setdefault("metric", {})[args.metric_tag] = metrics
-        out_rows.append(meta)
+        sweep.record(meta, metrics)
         logging.info("[%d/%d] mIoU=%.4f (%.1fs/subnet, %.0f subnets/hr)",
                      i + 1, len(metas), metrics["mIoU"], dt, 3600.0 / dt)
 
     out = osp.join(args.work_dir, "test_supernet", "metrics.json")
     with open(out, "w") as f:
-        json.dump(out_rows, f, indent=1, default=float)
+        json.dump(sweep.annotated(all_metas, args.metric_tag), f,
+                  indent=1, default=float)
     logging.info("dumped annotated model space -> %s", out)
 
 

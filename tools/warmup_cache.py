@@ -100,16 +100,16 @@ def main():
     print(f"full (logging/BN) step: {time.time() - t0:.0f}s", flush=True)
 
     multi = make_multi_train_step(model, tx, k)
-    variants = rnd_buckets if args.max_variants is None \
-        else rnd_buckets[:args.max_variants]
-    for i, cover in enumerate(variants):
-        bseq = tuple(anchors + [cover] * n_rand)
+    if args.max_variants is not None:
+        variants = variants[:args.max_variants]
+    for i, bseq in enumerate(variants):
         t0 = time.time()
         state, _ = multi(state, imgs_k, gts_k, arch_stack, rngs_k,
                          bounds_seq=bseq)
         jax.tree_util.tree_leaves(state.params)[0].block_until_ready()
-        print(f"[{i + 1}/{len(variants)}] cycle variant cover="
-              f"{cover.body_depth}: {time.time() - t0:.0f}s", flush=True)
+        print(f"[{i + 1}/{len(variants)}] cycle variant "
+              f"{[b.body_depth for b in bseq]}: {time.time() - t0:.0f}s",
+              flush=True)
     print("warmup done; programs persisted in the compilation cache",
           flush=True)
 
