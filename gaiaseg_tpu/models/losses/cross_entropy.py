@@ -130,8 +130,12 @@ def pairwise_gram_loss(student_feat: Array, teacher_feat: Array,
         f = f.reshape(n, h * w, c)
         return jnp.einsum("npc,nqc->npq", f, f)
 
-    if rng is not None:
-        n, h, w, c = student_feat.shape
+    n, h, w, c = student_feat.shape
+    if rng is not None and h // 2 >= 2 and w // 2 >= 2:
+        # skip the crop for tiny feature maps: a 1-position Gram row is a
+        # one-hot softmax and the CE collapses to exactly 0, silently
+        # killing the loss (production 512-crop features are 16x16+, where
+        # the reference's 50% crop semantics apply unchanged)
         sh, sw = max(h // 2, 1), max(w // 2, 1)
         ky, kx = jax.random.split(rng)
         y0 = jax.random.randint(ky, (), 0, h - sh + 1)
