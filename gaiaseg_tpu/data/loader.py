@@ -45,39 +45,51 @@ class BatchLoader:
         idx = idx[self.shard_id::self.num_shards]
         return idx
 
+    def _stack(self, chunk, pad_count: int = 0) -> Dict[str, np.ndarray]:
+        fast = getattr(self.dataset, "read_batch", None)
+        if fast is not None and not pad_count:
+            # native gather path (PackedDataset)
+            return fast(np.asarray(chunk))
+        recs = [self.dataset[int(j)] for j in chunk]
+        batch = {
+            "img": np.stack([r["img"] for r in recs]),
+            "gt": np.stack([r["gt"] for r in recs]),
+            "idx": np.asarray([r.get("idx", int(j))
+                               for r, j in zip(recs, chunk)]),
+        }
+        if pad_count:
+            batch["pad_count"] = pad_count
+        return batch
+
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        while True:
-            idx = self._indices()
-            bs = self.batch_size
-            end = len(idx) - (len(idx) % bs)  # full batches only; tail below
-            fast = getattr(self.dataset, "read_batch", None)
-            for i in range(0, end, bs):
-                chunk = idx[i:i + bs]
-                if fast is not None:
-                    # native gather path (PackedDataset)
-                    yield fast(np.asarray(chunk))
-                    continue
-                recs = [self.dataset[int(j)] for j in chunk]
-                yield {
-                    "img": np.stack([r["img"] for r in recs]),
-                    "gt": np.stack([r["gt"] for r in recs]),
-                    "idx": np.asarray([r.get("idx", int(j))
-                                       for r, j in zip(recs, chunk)]),
-                }
-            tail = len(idx) % bs
-            if not self.drop_last and tail:
-                chunk = list(idx[end:]) + list(idx[:bs - tail])
-                recs = [self.dataset[int(j)] for j in chunk]
-                batch = {
-                    "img": np.stack([r["img"] for r in recs]),
-                    "gt": np.stack([r["gt"] for r in recs]),
-                    "idx": np.asarray(chunk),
-                    "pad_count": bs - tail,
-                }
-                yield batch
-            self._epoch += 1
-            if not self.infinite:
-                return
+        bs = self.batch_size
+        if self.infinite:
+            # continuous index stream straddling epoch boundaries (the
+            # reference's InfiniteSampler semantics): a dataset or shard
+            # smaller than the global batch still yields full batches
+            # instead of dropping every epoch's tail (which livelocked
+            # the prefetch worker when len(dataset) < global batch).
+            if len(self._indices()) == 0:
+                raise ValueError(
+                    f"empty dataset shard {self.shard_id}/{self.num_shards}")
+            buf: list = []
+            while True:
+                buf.extend(self._indices())
+                self._epoch += 1
+                while len(buf) >= bs:
+                    yield self._stack(buf[:bs])
+                    del buf[:bs]
+            return
+        idx = self._indices()
+        end = len(idx) - (len(idx) % bs)  # full batches only; tail below
+        for i in range(0, end, bs):
+            yield self._stack(idx[i:i + bs])
+        tail = len(idx) % bs
+        if not self.drop_last and tail:
+            # pad the final batch by wrapping; consumers mask via pad_count
+            chunk = list(idx[end:]) + list(np.resize(idx, bs - tail))
+            yield self._stack(chunk, pad_count=bs - tail)
+        self._epoch += 1
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.prefetch <= 0:

@@ -99,6 +99,30 @@ def test_synthetic_dataset_and_loader():
     assert len(bs) == 3 and bs[-1].get("pad_count") == 2
 
 
+def test_infinite_loader_smaller_dataset_than_batch():
+    """Regression: a dataset (or shard) smaller than the global batch must
+    still yield batches in infinite mode — the index stream straddles epoch
+    boundaries (reference InfiniteSampler semantics). Previously the
+    prefetch worker livelocked: drop_last discarded every epoch's tail, so
+    a 4-image set at global batch 8 produced nothing, forever."""
+    ds = SyntheticDataset(length=4, size=(8, 8), num_classes=4)
+    loader = BatchLoader(ds, batch_size=8, shuffle=True, drop_last=True,
+                         infinite=True, prefetch=0)
+    it = iter(loader)
+    seen = set()
+    for _ in range(3):
+        b = next(it)
+        assert b["img"].shape == (8, 8, 8, 3)
+        seen.update(b["idx"].tolist())
+    assert seen == set(range(4))  # every record participates
+
+    # empty shard fails loudly instead of spinning
+    empty = BatchLoader(ds, 2, shard_id=5, num_shards=6, infinite=True,
+                        prefetch=0)
+    with np.testing.assert_raises(ValueError):
+        next(iter(empty))
+
+
 def test_confusion_and_miou():
     pred = jnp.asarray([[0, 1], [2, 2]])
     label = jnp.asarray([[0, 1], [255, 1]])
