@@ -61,8 +61,8 @@ def main():
     from gaiaseg_tpu.models import (build_segmentor, encode_arch,
                                     model_max_arch)
     from gaiaseg_tpu.archspace.complexity import get_model_complexity_info
-    from gaiaseg_tpu.models.arch_util import (bounds_arch, canonical_arch,
-                                              cycle_bounds_seq,
+    from gaiaseg_tpu.models.arch_util import (BoundsSwitch, bounds_arch,
+                                              canonical_arch, cycle_dispatch,
                                               exact_bounds,
                                               make_depth_bucketer)
     from gaiaseg_tpu.utils import Config
@@ -95,11 +95,15 @@ def main():
     bucketer = make_depth_bucketer(train_sampler, max_arch)
     metas = [train_sampler.sample() for _ in range(8)]  # one sandwich cycle
     archs = [encode_arch(max_arch, m) for m in metas]
-    # the EXACT production cycle bounds (shared enumeration with
-    # engine/train.py and tools/warmup_cache.py): anchors exact,
-    # randoms share one snapped covering bucket
-    arch_bounds = list(cycle_bounds_seq(metas, bucketer) or
-                       [bucketer(m) for m in metas])
+    # the EXACT production cycle dispatch (shared enumeration with
+    # engine/train.py and tools/warmup_cache.py): anchors exact static
+    # bounds, randoms a lax.switch over the bucketer's candidate set
+    cycle_bseq, cycle_bids = cycle_dispatch(metas, bucketer)
+    # effective per-position executed bounds (for the MFU arithmetic)
+    arch_bounds = [b if not isinstance(b, BoundsSwitch)
+                   else b.candidates[i]
+                   for b, i in zip(cycle_bseq, cycle_bids)] \
+        if cycle_bseq else [bucketer(m) for m in metas]
 
     schedule = build_lr_schedule(dict(policy="poly", power=0.9), 0.01, 1000)
     tx = build_optimizer(dict(type="SGD", lr=0.01, momentum=0.9,
@@ -162,13 +166,15 @@ def main():
             imgs_k = jnp.broadcast_to(img, (k,) + img.shape)
             gts_k = jnp.broadcast_to(gt, (k,) + gt.shape)
             rngs_k = jax.random.split(rng, k)
-            bseq = tuple(arch_bounds)
+            bseq = cycle_bseq or tuple(arch_bounds)
+            bids_k = jnp.asarray(cycle_bids or [0] * k, jnp.int32)
 
             cur_k = [state]
 
             def step_k8(i, _state=cur_k):
                 _state[0], _ = multi_step(_state[0], imgs_k, gts_k,
                                           arch_stack, rngs_k,
+                                          bucket_ids=bids_k,
                                           bounds_seq=bseq)
                 return _state[0].step
 
@@ -275,8 +281,20 @@ def main():
     log("timing slide inference (masked supernet, exact R50 bounds)...")
     dt_slide = _time_steps(
         lambda i: slide(variables, img1, r50, bounds=r50_bounds), 1, 4)
-    slide_ips = 1.0 / dt_slide / n_chips
-    log(f"slide (bounded): {1 / slide_ips:.3f} s/img -> {slide_ips:.2f} img/s")
+    slide_ips_b1 = 1.0 / dt_slide / n_chips
+    log(f"slide (bounded, b1): {1 / slide_ips_b1:.3f} s/img "
+        f"-> {slide_ips_b1:.2f} img/s")
+
+    # batch-4 slide: the relay is per-op-latency-bound (~0.65ms floor per
+    # matmul dispatch, measured round 3), so batching images per program
+    # amortizes the floor — +80% measured over batch-1. Serving semantics
+    # unchanged: slide_inference is natively batched over images.
+    slide_batch = 4
+    img4 = jnp.concatenate([img1] * slide_batch)
+    dt_slide4 = _time_steps(
+        lambda i: slide(variables, img4, r50, bounds=r50_bounds), 1, 2)
+    slide_ips = 1.0 / (dt_slide4 / slide_batch) / n_chips
+    log(f"slide (bounded, b{slide_batch}): {slide_ips:.2f} img/s")
 
     # ---- extracted (deployed) R50 subnet: true serving cost ------------ #
     from gaiaseg_tpu.engine.extract import extract_subnet
@@ -291,7 +309,11 @@ def main():
 
     log("timing extracted-R50 slide inference...")
     dt_ext = _time_steps(lambda i: slide_sub(sub_vars, img1), 1, 4)
-    ext_slide_ips = 1.0 / dt_ext / n_chips
+    ext_slide_ips_b1 = 1.0 / dt_ext / n_chips
+    dt_ext4 = _time_steps(lambda i: slide_sub(sub_vars, img4), 1, 2)
+    ext_slide_ips = 1.0 / (dt_ext4 / slide_batch) / n_chips
+    log(f"extracted slide: b1 {ext_slide_ips_b1:.2f}, "
+        f"b{slide_batch} {ext_slide_ips:.2f} img/s")
 
     # ---- population eval: depth-bucketed chunked-vmap val sweep -------- #
     # The 64-draw population is grouped by depth bucket
@@ -353,19 +375,23 @@ def main():
     # static shapes); NOMINAL = what the sampled subnet needs (reference
     # count_flops semantics). Train step ~ 3x forward FLOPs (fwd + both
     # backward passes). All per-chip.
+    # NOTE FLOPs convention: the analytic counter reports MACs (the mmcv
+    # convention the reference's count_flops numbers use); hardware peak
+    # counts mul+add separately, so TF/s and MFU below apply 2x. A train
+    # step is ~3x the forward (fwd + both backward passes).
     exec_cycle = float(np.mean([gflops(bounds_arch(max_arch, b), (512, 512))
                                 for b in arch_bounds]))
     nom_cycle = float(np.mean([gflops(canonical_arch(max_arch, m),
                                       (512, 512)) for m in metas]))
-    train_tf_exec = 3 * exec_cycle * (train_ips_k8 or 0.0) / 1e3
-    train_tf_nom = 3 * nom_cycle * (train_ips_k8 or 0.0) / 1e3
+    train_tf_exec = 3 * 2 * exec_cycle * (train_ips_k8 or 0.0) / 1e3
+    train_tf_nom = 3 * 2 * nom_cycle * (train_ips_k8 or 0.0) / 1e3
     r50_arch = canonical_arch(max_arch, r50_meta)
     slide_gf_exec = 9 * gflops(bounds_arch(max_arch, r50_bounds),
                                (512, 1024))   # 3x3 window grid
     slide_gf_nom = 9 * gflops(r50_arch, (512, 1024))
-    slide_tf = slide_gf_exec * slide_ips / 1e3
-    ext_tf = slide_gf_nom * ext_slide_ips / 1e3
-    pop_tf = (weighted_gf / (weighted_ms * 1e3)
+    slide_tf = 2 * slide_gf_exec * slide_ips / 1e3
+    ext_tf = 2 * slide_gf_nom * ext_slide_ips / 1e3
+    pop_tf = (2 * weighted_gf / (weighted_ms * 1e3)
               if pop_per_arch_img else None)
 
     best_train = max(v for v in (train_ips, train_ips_k8) if v is not None)
@@ -390,9 +416,13 @@ def main():
                 if train_ips_k8 else None,
             "train_img_per_sec_e2e": round(float(train_ips_e2e), 3)
                 if train_ips_e2e else None,
+            "slide_batch": slide_batch,
             "slide_1024x2048_img_per_sec_per_chip": round(float(slide_ips), 4),
+            "slide_img_per_sec_batch1": round(float(slide_ips_b1), 4),
             "extracted_r50_slide_img_per_sec_per_chip":
                 round(float(ext_slide_ips), 4),
+            "extracted_slide_img_per_sec_batch1":
+                round(float(ext_slide_ips_b1), 4),
             "subnets_per_hour_fullval_500img":
                 round(float(subnets_per_hour_fullval), 1)
                 if subnets_per_hour_fullval else None,
@@ -403,12 +433,14 @@ def main():
             "n_chips": n_chips,
             "device": str(jax.devices()[0].device_kind),
             "peak_bf16_tflops": peak_tflops,
-            "train_gflops_per_img_executed": round(exec_cycle, 1),
-            "train_gflops_per_img_nominal": round(nom_cycle, 1),
+            "flops_convention": "counter reports MACs (mmcv/reference "
+                "convention); TF/s and MFU use 2*MACs, train 3x forward",
+            "train_gmacs_per_img_executed": round(exec_cycle, 1),
+            "train_gmacs_per_img_nominal": round(nom_cycle, 1),
             "train_tflops_per_sec": round(train_tf_exec, 1),
             "train_mfu_executed": mfu(train_tf_exec),
             "train_mfu_nominal": mfu(train_tf_nom),
-            "slide_gflops_per_img_executed": round(slide_gf_exec, 1),
+            "slide_gmacs_per_img_executed": round(slide_gf_exec, 1),
             "slide_tflops_per_sec": round(slide_tf, 1),
             "slide_mfu_executed": mfu(slide_tf),
             "extracted_slide_tflops_per_sec": round(ext_tf, 1),

@@ -34,7 +34,7 @@ from ..data.datasets import build_dataset
 from ..data.loader import BatchLoader
 from ..data.pipeline_cfg import parse_test_pipeline, parse_train_pipeline
 from ..data.transforms import augment_batch
-from ..models.arch_util import (ArchBounds, cycle_bounds_seq, encode_arch,
+from ..models.arch_util import (ArchBounds, cycle_dispatch, encode_arch,
                                 make_depth_bucketer, model_max_arch)
 from ..parallel.mesh import (broadcast_object, make_mesh, replicate,
                              shard_batch)
@@ -130,34 +130,51 @@ def make_multi_train_step(model, tx, k: int):
     Two modes, selected by the STATIC ``bounds_seq``:
     - ``None``: lax.scan of K full steps (loss logs + BN stat updates
       every step; one shared MAX-cost program).
-    - tuple of K ArchBounds: UNROLLED cycle — step i executes only up to
-      ``bounds_seq[i]`` depth (the depth-proportional fast path), silent
-      (no loss/stat outputs: each costs ~2x, see make_train_step). jit
-      compiles one cycle program per distinct bucket sequence; the
-      sandwich anchors pin 5 of 8 positions, so the variant count stays
-      bounded by the bucketer's quantization.
+    - tuple of K entries: UNROLLED cycle, silent (no loss/stat outputs:
+      each costs ~2x, see make_train_step). An ``ArchBounds`` entry
+      executes step i at those STATIC bounds (the subnet-proportional
+      fast path; anchors get their exact bounds). A ``BoundsSwitch``
+      entry emits ``lax.switch(bucket_ids[i], branches)`` over one
+      gradient branch per candidate bound, so random draws pay their own
+      bucket's sliced cost at runtime while the compile key — the static
+      entry tuple — is identical for every cycle (ONE program total).
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,),
                        static_argnames=("bounds_seq",))
     def multi_step(state: TrainState, imgs, gts, archs, rngs,
-                   bounds_seq=None):
+                   bucket_ids=None, bounds_seq=None):
         if bounds_seq is not None:
             st = state
             for i in range(k):
                 img, gt, rng = imgs[i], gts[i], rngs[i]
                 arch = jax.tree_util.tree_map(lambda x: x[i], archs)
 
-                def loss_fn(params, img=img, gt=gt, arch=arch, rng=rng,
-                            st=st, b=bounds_seq[i]):
-                    (total, logs), _ = model.apply(
-                        {"params": params, "batch_stats": st.batch_stats},
-                        img, gt, arch, False, b,
-                        method=model.forward_train, mutable=[],
-                        rngs={"dropout": rng})
-                    return total
+                def grad_at(b, img=img, gt=gt, arch=arch, rng=rng, st=st):
+                    def loss_fn(params):
+                        (total, logs), _ = model.apply(
+                            {"params": params,
+                             "batch_stats": st.batch_stats},
+                            img, gt, arch, False, b,
+                            method=model.forward_train, mutable=[],
+                            rngs={"dropout": rng})
+                        return total
 
-                grads = jax.grad(loss_fn)(st.params)
+                    return jax.grad(loss_fn)
+
+                b_i = bounds_seq[i]
+                if isinstance(b_i, ArchBounds) or b_i is None:
+                    grads = grad_at(b_i)(st.params)
+                else:
+                    # BoundsSwitch: runtime candidate selection — one
+                    # gradient branch per candidate bound, lax.switch on
+                    # the traced bucket id. Grad pytrees are full param
+                    # shapes in every branch (inactive slices zero), so
+                    # the optimizer update below stays shared.
+                    grads = jax.lax.switch(
+                        bucket_ids[i],
+                        [grad_at(c) for c in b_i.candidates],
+                        st.params)
                 updates, opt_state = tx.update(grads, st.opt_state,
                                                st.params)
                 params = optax.apply_updates(st.params, updates)
@@ -483,7 +500,9 @@ def train_segmentor(model, cfg, *, work_dir: str,
     if cfg.get("use_arch_bounds", True) and train_sampler is not None \
             and not (model_cfg.get("backbone") or {}).get("scan_blocks"):
         try:
-            bucketer = make_depth_bucketer(train_sampler, max_arch)
+            bucketer = make_depth_bucketer(
+                train_sampler, max_arch,
+                rand_k=int(cfg.get("arch_bounds_rand_k", 6)))
         except Exception:
             bucketer = None
     data_iter = iter(loader)
@@ -525,10 +544,12 @@ def train_segmentor(model, cfg, *, work_dir: str,
             batches = [next_aug_batch() for _ in range(k_disp)]
             triples = [next_arch(with_meta=True) for _ in range(k_disp)]
             archs = [a for a, _, _ in triples]
-            # anchors exact, randoms share one snapped covering bucket —
-            # the shared enumeration (also driven by bench.py and
+            # anchors exact static bounds; randoms a lax.switch over the
+            # bucketer's candidate set selected by traced bucket ids — the
+            # shared enumeration (also driven by bench.py and
             # tools/warmup_cache.py, so precompiled variants match)
-            bseq = cycle_bounds_seq([m for _, _, m in triples], bucketer)
+            bseq, bids = cycle_dispatch([m for _, _, m in triples],
+                                        bucketer)
             rng, k_drop = jax.random.split(rng)
             state, logs_k = multi_step(
                 state,
@@ -536,6 +557,7 @@ def train_segmentor(model, cfg, *, work_dir: str,
                 jnp.stack([b["gt"] for b in batches]),
                 jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *archs),
                 jax.random.split(k_drop, k_disp),
+                bucket_ids=jnp.asarray(bids or [0] * k_disp, jnp.int32),
                 bounds_seq=bseq)
             if logs_k:
                 logs = {k: v[-1] for k, v in logs_k.items()}

@@ -166,43 +166,37 @@ def covering_bounds(max_arch: Dict[str, Any], metas) -> ArchBounds:
     return _emax_bounds([exact_bounds(max_arch, m) for m in metas])
 
 
-def cycle_bounds_seq(metas, bucketer) -> Optional[tuple]:
-    """Per-position ArchBounds for one K-step dispatch cycle.
+def cycle_dispatch(metas, bucketer):
+    """Per-position dispatch plan for one K-step cycle — THE single source
+    of truth for the production cycle program's shape, used identically by
+    the train loop (engine/train.py), the benchmark (bench.py) and the
+    cache warmer (tools/warmup_cache.py), so the programs the warmer
+    precompiles are exactly the programs training runs.
 
-    THE single source of truth for the production cycle-variant shape —
-    used identically by the train loop (engine/train.py), the benchmark
-    (bench.py) and the cache warmer (tools/warmup_cache.py), so the
-    programs the warmer precompiles are exactly the programs training
-    runs (a drifted re-implementation silently reintroduces the 10-20min
-    mid-run relay compiles the warmer exists to prevent).
-
-    Named (anchor) draws keep their exact bucketed bounds; random draws
-    share ONE covering bucket (elementwise max over their bounds, snapped
-    back to the bucketer's candidate set) — otherwise nearly every cycle
-    would draw a fresh ``bounds_seq`` and each distinct sequence is a
-    fresh multi-minute compile of the unrolled cycle program. Returns
-    ``None`` (caller falls back to MAX execution) when any position has
-    no usable bounds."""
+    Named (anchor) draws keep their exact bucketed bounds as STATIC
+    entries. Random draws become ONE shared ``BoundsSwitch`` static entry
+    (the bucketer's greedy candidate set) plus a per-position runtime
+    bucket id — so every random pays its own candidate's sliced cost,
+    while the program's compile key (the tuple of static entries) never
+    changes across cycles. Returns ``(bounds_seq, bucket_ids)``;
+    ``(None, None)`` when any position has no usable bounds (caller falls
+    back to MAX execution)."""
     if bucketer is None:
-        return None
-    bounds = [bucketer(m) for m in metas]
-    rnd = [b for b, m in zip(bounds, metas)
-           if b is not None and b.body_depth is not None
-           and not m.get("name")]
-    if rnd:
-        cover = _emax_bounds(rnd)
-        snap_meta = {"arch.backbone.body.depth": list(cover.body_depth)}
-        if cover.body_width is not None:
-            snap_meta["arch.backbone.body.width"] = list(cover.body_width)
-        if cover.stem_width is not None:
-            snap_meta["arch.backbone.stem.width"] = cover.stem_width
-        cover = bucketer(snap_meta)
-        bounds = [(cover if (b is not None and b.body_depth is not None
-                             and not m.get("name")) else b)
-                  for b, m in zip(bounds, metas)]
-    if any(b is None or b.body_depth is None for b in bounds):
-        return None
-    return tuple(bounds)
+        return None, None
+    cands = getattr(bucketer, "rand_candidates", None)
+    ridx = getattr(bucketer, "rand_index", None)
+    seq, ids = [], []
+    for m in metas:
+        b = bucketer(m)
+        if b is None or b.body_depth is None:
+            return None, None
+        if m.get("name") or not cands or len(cands) < 2 or ridx is None:
+            seq.append(b)
+            ids.append(0)
+        else:
+            seq.append(BoundsSwitch(candidates=tuple(cands)))
+            ids.append(int(ridx(m)))
+    return tuple(seq), tuple(ids)
 
 
 def bounds_arch(max_arch: Dict[str, Any],
@@ -229,8 +223,115 @@ def bounds_arch(max_arch: Dict[str, Any],
     return arch
 
 
+class BoundsSwitch(NamedTuple):
+    """STATIC marker for one cycle position whose bounds are selected at
+    RUNTIME: the unrolled cycle program (engine/train.py multi_step) emits
+    ``lax.switch(bucket_id, branches)`` over one gradient branch per
+    candidate, so every random draw pays its own bucket's sliced cost while
+    the program's compile key — this tuple of candidates — stays constant
+    across cycles. Replaces the covering-merge strategy (all randoms
+    snapped to one shared bucket, which in the ar50to101v2 space collapsed
+    to MAX and re-paid the full-width tax the bounds exist to remove)."""
+
+    candidates: Tuple[ArchBounds, ...]
+
+
+def _rand_bounds_candidates(sampler, max_arch: Dict[str, Any],
+                            rand_k: int, n_draws: int = 384,
+                            seed: int = 20240817
+                            ) -> Tuple[ArchBounds, ...]:
+    """Data-driven candidate bounds for RANDOM draws: greedy set of
+    ``rand_k`` ArchBounds minimizing the expected executed cost (proxy
+    ``stem^2 + sum_i depth_i * width_i^2``) over a deterministic sample of
+    the sampler's random region. MAX is always included, so every draw is
+    covered. Deterministic across processes (fresh reseeded sampler copy,
+    fixed seed) — the candidate tuple is part of the cycle program's
+    compile key and must be identical in train/bench/warmup."""
+    import numpy as np
+
+    max_b = exact_bounds(max_arch)
+    if max_b.body_depth is None or max_b.body_width is None:
+        return (max_b,)
+
+    s = copy.deepcopy(sampler)
+
+    def _reseed(node, i=[0]):
+        if node is None:
+            return
+        if hasattr(node, "reseed"):
+            node.reseed(seed + i[0])
+            i[0] += 1
+        for sub in getattr(node, "samplers", None) or []:
+            _reseed(sub)
+        for sub in getattr(node, "anchors_samplers", None) or []:
+            _reseed(sub)
+        _reseed(getattr(node, "sampler", None))
+        for sub in getattr(node, "model_samplers", None) or []:
+            _reseed(sub)
+
+    _reseed(s)
+
+    def vec(b: ArchBounds):
+        return np.asarray([b.stem_width or 0] + list(b.body_width)
+                          + list(b.body_depth), np.int64)
+
+    draws = []
+    for _ in range(n_draws * 2):
+        if len(draws) >= n_draws:
+            break
+        m = s.sample()
+        if m.get("name"):
+            continue
+        b = exact_bounds(max_arch, m)
+        if b.body_depth is None or b.body_width is None or \
+                len(b.body_depth) != len(max_b.body_depth):
+            return (max_b,)
+        draws.append(vec(b))
+    if not draws:
+        return (max_b,)
+
+    D = np.stack(draws)                      # [S, 1+st+st]
+    pool_v, seen = [vec(max_b)], {tuple(vec(max_b))}
+    for v in D:
+        t = tuple(v)
+        if t not in seen:
+            seen.add(t)
+            pool_v.append(v)
+    P = np.stack(pool_v)                     # [C, dims]
+    ns = len(max_b.body_depth)
+
+    def cost_of(V):
+        st, w, d = V[..., 0], V[..., 1:1 + ns], V[..., 1 + ns:]
+        return st * st + (d * w * w).sum(axis=-1)
+
+    covers = (P[:, None, :] >= D[None, :, :]).all(-1)   # [C, S]
+    pcost = cost_of(P)                                  # [C]
+    best = np.full(len(D), pcost[0], np.float64)        # MAX covers all
+    chosen = [0]
+    for _ in range(max(rand_k, 1) - 1):
+        # candidate whose addition lowers expected executed cost the most
+        cand_best = np.where(covers, np.minimum(best[None, :],
+                                                pcost[:, None]), best)
+        gains = best.mean() - cand_best.mean(axis=1)
+        j = int(np.argmax(gains))
+        if gains[j] <= 0:
+            break
+        chosen.append(j)
+        best = cand_best[j]
+
+    out = [ArchBounds(body_depth=tuple(int(x) for x in P[j][1 + ns:]),
+                      body_width=tuple(int(x) for x in P[j][1:1 + ns]),
+                      stem_width=int(P[j][0]) or None)
+           for j in chosen]
+    # ascending cost => stable branch ids + cheapest-covering selection
+    return tuple(sorted(set(out), key=lambda b: (
+        (b.stem_width or 0) ** 2 + sum(d * w * w for d, w in
+                                       zip(b.body_depth, b.body_width)),
+        b.body_depth, b.body_width, b.stem_width or 0)))
+
+
 def make_depth_bucketer(sampler, max_arch: Dict[str, Any],
-                        n_levels: int = 4):
+                        n_levels: int = 4, rand_k: int = 6):
     """meta -> ArchBounds with a BOUNDED number of distinct outputs.
 
     Candidate bounds = every anchor's exact (depth, width, stem) triple
@@ -241,7 +342,13 @@ def make_depth_bucketer(sampler, max_arch: Dict[str, Any],
     A draw maps to the covering candidate with the smallest estimated
     executed cost (sum of depth_i * width_i^2), so anchors run at
     extracted-subnet cost while jit compiles at most ``#anchors +
-    n_levels`` step variants."""
+    n_levels`` step variants.
+
+    Additionally exposes ``bucket.rand_candidates`` (a greedy
+    expected-cost set of ``rand_k`` bounds over the sampler's random
+    region, see _rand_bounds_candidates) and ``bucket.rand_index(meta)``
+    — the BoundsSwitch branch table used by ``cycle_dispatch`` so random
+    cycle positions pay their own width+depth-proportional cost."""
     max_b = exact_bounds(max_arch)
     max_d = max_b.body_depth
     if max_d is None:
@@ -290,4 +397,24 @@ def make_depth_bucketer(sampler, max_arch: Dict[str, Any],
                 return c
         return max_b
 
+    # runtime-selected candidates for RANDOM cycle positions (BoundsSwitch
+    # dispatch): greedy expected-cost set, MAX always last-resort cover
+    rand_cands = _rand_bounds_candidates(sampler, max_arch, rand_k)
+
+    def rand_index(meta) -> int:
+        want = exact_bounds(max_arch, meta)
+        d = want.body_depth
+        if d is None or len(d) != len(max_d):
+            return _rand_max_idx
+        for i, c in enumerate(rand_cands):  # sorted ascending by cost
+            if c.covers(d, want.body_width, want.stem_width):
+                return i
+        return _rand_max_idx
+
+    _rand_max_idx = next(
+        (i for i, c in enumerate(rand_cands)
+         if c.covers(max_b.body_depth, max_b.body_width,
+                     max_b.stem_width)), len(rand_cands) - 1)
+    bucket.rand_candidates = rand_cands
+    bucket.rand_index = rand_index
     return bucket

@@ -283,6 +283,127 @@ def test_bounded_cycle_matches_sequential_fast_steps(setup):
         s_seq.params, s_cyc.params)
 
 
+def test_switch_cycle_matches_sequential_and_reuses_program(setup):
+    """BoundsSwitch dispatch (cycle_dispatch + lax.switch in multi_step):
+    random cycle positions pay their OWN candidate's sliced cost, selected
+    by a traced bucket id, while the compile key stays constant across
+    cycles. The switch cycle must equal K sequential fast steps run at each
+    position's effective candidate bounds, and a second cycle with
+    different random draws must reuse the compiled program."""
+    import time
+
+    from gaiaseg_tpu.engine import (create_train_state,
+                                    make_multi_train_step, make_train_step)
+    from gaiaseg_tpu.engine.optim import build_lr_schedule, build_optimizer
+    from gaiaseg_tpu.models import BoundsSwitch, cycle_dispatch
+    from gaiaseg_tpu.models.arch_util import make_depth_bucketer
+
+    model, max_arch, variables, img, gt, _ = setup
+    sampler = build_model_sampler(dict(type="concat", model_samplers=[
+        dict(type="anchor", anchors=[
+            {"name": "MIN", "arch.backbone.body.depth": [1, 1, 2, 1],
+             "arch.backbone.body.width": [8, 8, 8, 16],
+             "arch.backbone.stem.width": 8}]),
+        dict(type="repeat", times=2, model_sampler=dict(
+            type="composite", model_samplers=[
+                dict(type="range", key="arch.backbone.body.width",
+                     start=[8, 8, 8, 16], end=[8, 16, 24, 32],
+                     step=[8, 8, 8, 8], ascending=True),
+                dict(type="range", key="arch.backbone.body.depth",
+                     start=[1, 1, 2, 1], end=[2, 3, 5, 2],
+                     step=[1, 1, 1, 1])]))]))
+    bucketer = make_depth_bucketer(sampler, max_arch, rand_k=2)
+    assert len(bucketer.rand_candidates) == 2
+
+    # one anchor position + one switch position whose draw maps to the
+    # EXPENSIVE candidate (so the wrong branch truncates the arch — a
+    # different function, not just reduction noise)
+    k = 2
+    metas = [
+        {"name": "MIN", "arch.backbone.body.depth": [1, 1, 2, 1],
+         "arch.backbone.body.width": [8, 8, 8, 16],
+         "arch.backbone.stem.width": 8},
+        {"arch.backbone.body.depth": [2, 2, 5, 2],
+         "arch.backbone.body.width": [8, 16, 16, 24],
+         "arch.backbone.stem.width": 8},
+    ]
+    bseq, bids = cycle_dispatch(metas, bucketer)
+    assert isinstance(bseq[0], ArchBounds)        # anchor: static bounds
+    assert isinstance(bseq[1], BoundsSwitch)      # randoms: runtime switch
+    for m, b, i in zip(metas, bseq, bids):
+        if isinstance(b, BoundsSwitch):
+            assert b.candidates[i].covers(
+                m.get("arch.backbone.body.depth"),
+                m.get("arch.backbone.body.width"),
+                m.get("arch.backbone.stem.width"))
+    assert bids[1] > 0 and not bseq[1].candidates[0].covers(
+        metas[1]["arch.backbone.body.depth"],
+        metas[1]["arch.backbone.body.width"],
+        metas[1]["arch.backbone.stem.width"])
+
+    archs = [encode_arch(max_arch, m) for m in metas]
+    sched = build_lr_schedule(dict(policy="poly", power=0.9), 0.01, 100)
+    tx = build_optimizer(dict(type="SGD", lr=0.01, momentum=0.9),
+                         dict(grad_clip=dict(max_norm=20)), sched)
+    rng = jax.random.PRNGKey(0)
+    imgs = jnp.stack([img] * k)
+    gts = jnp.stack([gt] * k)
+    rngs = jax.random.split(jax.random.PRNGKey(4), k)
+    arch_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *archs)
+
+    cycle = make_multi_train_step(model, tx, k)
+
+    def run_cycle(ids, use_switch):
+        s = create_train_state(model, rng, img, archs[0], tx)
+        if use_switch:
+            seq = bseq
+        else:  # same cycle program shape, candidate baked in STATICALLY
+            seq = tuple(b if not isinstance(b, BoundsSwitch)
+                        else b.candidates[i] for b, i in zip(bseq, ids))
+        s, _ = cycle(s, imgs, gts, arch_stack, rngs,
+                     bucket_ids=jnp.asarray(ids, jnp.int32),
+                     bounds_seq=seq)
+        return s
+
+    s_static = run_cycle(bids, use_switch=False)
+    # a trajectory that deliberately takes the WRONG branch on every
+    # switch position — the discrimination baseline below
+    wrong = tuple((i + 1) % len(bseq[j].candidates)
+                  if isinstance(bseq[j], BoundsSwitch) else i
+                  for j, i in enumerate(bids))
+    s_wrong = run_cycle(wrong, use_switch=False)
+    s_cyc = run_cycle(bids, use_switch=True)
+
+    def dist(a, b):
+        return sum(float(np.abs(np.asarray(x) - np.asarray(y)).sum())
+                   for x, y in zip(jax.tree_util.tree_leaves(a),
+                                   jax.tree_util.tree_leaves(b)))
+
+    # width-sliced programs compiled in different surroundings disagree by
+    # float reduction order amplified through train-mode BN (see
+    # test_bounded_grads_match_masked), so exact equality is the wrong
+    # check; correctness of the bounded math itself is pinned against the
+    # extracted model elsewhere. THIS test pins branch SELECTION: against
+    # an identically-shaped cycle program with the candidate baked in
+    # statically, the switch cycle must land an order of magnitude closer
+    # to the right-branch trajectory than to the wrong-branch one.
+    d_right = dist(s_cyc.params, s_static.params)
+    d_wrong = dist(s_cyc.params, s_wrong.params)
+    assert d_right * 10 < d_wrong, (d_right, d_wrong)
+
+    # a later cycle with different random draws produces the SAME static
+    # key and therefore dispatches without compiling
+    metas2 = [sampler.sample() for _ in range(k)]
+    bseq2, bids2 = cycle_dispatch(metas2, bucketer)
+    assert bseq2 == bseq
+    t0 = time.time()
+    s_cyc, _ = cycle(s_cyc, imgs, gts, arch_stack, rngs,
+                     bucket_ids=jnp.asarray(bids2, jnp.int32),
+                     bounds_seq=bseq2)
+    jax.block_until_ready(s_cyc.params)
+    assert time.time() - t0 < 5.0
+
+
 def test_bounds_noop_for_backbones_without_support():
     """Backbones that don't declare ``supports_bounds`` must treat bounds
     as a no-op (MAX execution, same numerics) rather than crash — the

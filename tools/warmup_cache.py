@@ -51,7 +51,7 @@ def main():
     from gaiaseg_tpu.engine.optim import build_lr_schedule, build_optimizer
     from gaiaseg_tpu.models import (build_segmentor, encode_arch,
                                     model_max_arch)
-    from gaiaseg_tpu.models.arch_util import (cycle_bounds_seq,
+    from gaiaseg_tpu.models.arch_util import (cycle_dispatch,
                                               make_depth_bucketer)
     from gaiaseg_tpu.utils import Config
 
@@ -66,17 +66,20 @@ def main():
 
     # enumerate reachable cycle variants by replaying the sampler through
     # the SAME shared enumeration the train loop dispatches
-    # (arch_util.cycle_bounds_seq) — a hand-rolled mirror here would drift
-    # and silently reintroduce mid-run compiles
+    # (arch_util.cycle_dispatch) — a hand-rolled mirror here would drift
+    # and silently reintroduce mid-run compiles. With BoundsSwitch
+    # dispatch the random positions are runtime-selected branches, so the
+    # static-key variant count is normally ONE.
     k = int(cfg.get("steps_per_dispatch", 8))
-    cycle, variants = None, []
+    cycle, variants, ids_of = None, [], {}
     for _ in range(64):
         metas = [sampler.sample() for _ in range(k)]
         if cycle is None:
             cycle = metas
-        bseq = cycle_bounds_seq(metas, bucketer)
+        bseq, bids = cycle_dispatch(metas, bucketer)
         if bseq is not None and bseq not in variants:
             variants.append(bseq)
+            ids_of[bseq] = bids
     print(f"{len(variants)} reachable cycle variants (k={k})", flush=True)
 
     sched_cfg = cfg.get("lr_config") or dict(policy="poly", power=0.9)
@@ -105,11 +108,12 @@ def main():
     for i, bseq in enumerate(variants):
         t0 = time.time()
         state, _ = multi(state, imgs_k, gts_k, arch_stack, rngs_k,
+                         bucket_ids=jnp.asarray(ids_of[bseq], jnp.int32),
                          bounds_seq=bseq)
         jax.tree_util.tree_leaves(state.params)[0].block_until_ready()
         print(f"[{i + 1}/{len(variants)}] cycle variant "
-              f"{[b.body_depth for b in bseq]}: {time.time() - t0:.0f}s",
-              flush=True)
+              f"{[getattr(b, 'body_depth', 'switch') for b in bseq]}: "
+              f"{time.time() - t0:.0f}s", flush=True)
     print("warmup done; programs persisted in the compilation cache",
           flush=True)
 
