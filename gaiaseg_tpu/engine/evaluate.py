@@ -143,7 +143,13 @@ def group_population(metas, bucketer):
     bounds restores depth-proportional eval cost at a bounded number of
     compiles — the eval-side analog of the bounded train step (reference
     depth semantics: dynamic_res_layer.py:166-172, blocks beyond
-    depth_state never run)."""
+    depth_state never run).
+
+    Width-aware refinement of the random groups was prototyped and
+    rejected: on the flagship space the greedy population-specific bucket
+    set cuts the executed-cost proxy only ~4-10% while adding 5+ compiled
+    programs (3-5 min each on the relay) — the per-subnet cost floor
+    dominates. Anchors already run at exact width via the bucketer."""
     groups: Dict = {}
     for i, m in enumerate(metas):
         groups.setdefault(bucketer(m), []).append(i)

@@ -236,6 +236,21 @@ class DynamicEncoderDecoder(nn.Module):
 
     def simple_test(self, img: Array, arch: Dict[str, Any],
                     flip: bool = False, bounds=None) -> Array:
+        if not flip:
+            # argmax is invariant under softmax (shared positive
+            # denominator), so the no-TTA path skips it — the softmax on a
+            # [N,1024,2048,19] f32 canvas is pure HBM traffic (C=19 pads to
+            # 128 lanes). Reference semantics (argmax of probs,
+            # dynamic_distiller.py:510-521) are preserved exactly.
+            cfg = dict(self.test_cfg or {"mode": "whole"})
+            if cfg.get("mode") == "slide":
+                logit = self.slide_inference(img, arch,
+                                             tuple(cfg["crop_size"]),
+                                             tuple(cfg["stride"]),
+                                             bounds=bounds)
+            else:
+                logit = self.whole_inference(img, arch, bounds=bounds)
+            return jnp.argmax(logit, axis=-1)
         return jnp.argmax(self.inference(img, arch, flip, bounds=bounds),
                           axis=-1)
 

@@ -160,3 +160,25 @@ def test_aug_test_multiscale(model_and_vars):
     assert pred.shape == (1, 32, 32)
     single = model.apply(variables, img1, arch, method=model.simple_test)
     assert pred.dtype == single.dtype
+
+
+def test_simple_test_fast_path_matches_softmax_argmax(model_and_vars):
+    """simple_test(flip=False) skips the softmax (argmax is invariant under
+    it); predictions must equal argmax of the softmax ``inference`` path in
+    both whole and slide modes."""
+    model, variables = model_and_vars
+    img = jax.random.normal(jax.random.PRNGKey(8), (1, 48, 48, 3), F32)
+    arch = encode_arch(model_max_arch(TINY_MODEL), SUB_META)
+    fast = model.apply(variables, img, arch, method=model.simple_test)
+    ref = jnp.argmax(model.apply(variables, img, arch,
+                                 method=model.inference), -1)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref))
+
+    slide_model = build_segmentor(dict(
+        TINY_MODEL, test_cfg=dict(mode="slide", crop_size=(32, 32),
+                                  stride=(16, 16))))
+    fast = slide_model.apply(variables, img, arch,
+                             method=slide_model.simple_test)
+    ref = jnp.argmax(slide_model.apply(variables, img, arch,
+                                       method=slide_model.inference), -1)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref))
