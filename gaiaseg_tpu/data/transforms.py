@@ -108,24 +108,21 @@ def random_scale_crop(rng: Array, img: Array, label: Array,
     cand_x = jnp.floor(us[:, 1] * (margin_x + 1.0)).astype(jnp.int32)
 
     if cat_max_ratio < 1.0:
-        def trial_ok(t):
-            lab = _label_window(label, scale, cand_y[t], cand_x[t],
-                                crop_size, seg_pad_val)
-            counts = jnp.bincount(
-                jnp.where(lab == seg_pad_val, num_classes, lab).reshape(-1),
-                length=num_classes + 1)[:num_classes]
-            total = jnp.maximum(jnp.sum(counts), 1)
-            return (jnp.max(counts) / total) < cat_max_ratio
-
-        def body(t, chosen):
-            # keep the first passing trial; fall back to the last candidate
-            ok = trial_ok(t)
-            already = chosen >= 0
-            return jnp.where(jnp.logical_and(ok, jnp.logical_not(already)),
-                             t, chosen)
-
-        chosen = jax.lax.fori_loop(0, max_trials, body, jnp.int32(-1))
-        chosen = jnp.where(chosen < 0, max_trials - 1, chosen)
+        # All trials' class histograms at once, without materializing any
+        # window: nearest resampling is separable, so a window's histogram
+        # is My @ OneHot(label) @ Mx^T with My/Mx the per-source-row/col
+        # output multiplicities. Integer-exact (0/1 and small-int operands,
+        # f32 accumulation), so the chosen trial is bit-identical to the
+        # former per-trial gather+bincount loop — which cost ~185ms of a
+        # 299ms augment batch on v5e (bincount lowers to scatter; see
+        # CLAUDE.md "Scatter is poison").
+        counts = _trial_histograms(label, scale, cand_y, cand_x, crop_size,
+                                   num_classes, seg_pad_val)
+        total = jnp.maximum(counts.sum(-1), 1.0)
+        ok = (counts.max(-1) / total) < cat_max_ratio
+        # first passing trial; fall back to the last candidate
+        chosen = jnp.where(jnp.any(ok), jnp.argmax(ok),
+                           max_trials - 1).astype(jnp.int32)
     else:
         chosen = jnp.int32(0)
 
@@ -133,6 +130,40 @@ def random_scale_crop(rng: Array, img: Array, label: Array,
     ox = cand_x[chosen]
     return fused_resize_crop(img, label, scale, oy, ox, crop_size,
                              seg_pad_val)
+
+
+def _trial_histograms(label: Array, scale: Array, cand_y: Array,
+                      cand_x: Array, crop_size: Tuple[int, int],
+                      num_classes: int, seg_pad_val: int) -> Array:
+    """[T, num_classes] exact class histograms of the nearest-resampled
+    crop window for every candidate origin, via separable multiplicity
+    matmuls (no window gather, no bincount scatter).
+
+    Per trial: counts[c] = sum_{i,j valid} 1[label[ynear(i), xnear(j)] == c]
+             = sum_{h,w} My[h] * OneHot(label)[c,h,w] * Mx[w]
+    where My[h] = #{i : ynear(i) == h, valid_y(i)} (likewise Mx). Ignore
+    pixels (``seg_pad_val`` in the source) land in class ``num_classes``
+    and are dropped, exactly like the bincount formulation it replaces
+    (mmseg RandomCrop counts classes on the resampled crop)."""
+    h, w = label.shape[0], label.shape[1]
+    ch, cw = crop_size
+
+    def mults(out_size, in_size, offs):
+        def one(off):
+            lo, hi, f, v = _window_indices(out_size, in_size, off, scale)
+            near = jnp.where(f < 0.5, lo, hi)
+            oh = jax.nn.one_hot(near, in_size, dtype=jnp.float32)
+            return (oh * v[:, None].astype(jnp.float32)).sum(0)
+        return jax.vmap(one)(offs)                     # [T, in_size]
+
+    my = mults(ch, h, cand_y)                          # [T, H]
+    mx = mults(cw, w, cand_x)                          # [T, W]
+    lab_c = jnp.where(label == seg_pad_val, num_classes, label)
+    oh = jax.nn.one_hot(lab_c, num_classes + 1, axis=0,
+                        dtype=jnp.float32)             # [C+1, H, W]
+    a = jnp.einsum("chw,tw->cth", oh, mx)
+    counts = jnp.einsum("cth,th->tc", a, my)           # [T, C+1]
+    return counts[:, :num_classes]
 
 
 def _label_window(label: Array, scale: Array, off_y: Array, off_x: Array,
@@ -157,8 +188,10 @@ def random_flip(rng: Array, img: Array, label: Array, prob: float = 0.5):
     return img, label
 
 
-def _rgb_to_hsv(rgb: Array) -> Array:
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+def _rgb_to_hsv(r: Array, g: Array, b: Array):
+    """Planar channels in/out: every intermediate is [H,W] — a stacked
+    [H,W,3] chain pads its 3 lanes to 128 on TPU and cost ~107ms of a
+    299ms augment batch before the split."""
     maxc = jnp.maximum(jnp.maximum(r, g), b)
     minc = jnp.minimum(jnp.minimum(r, g), b)
     v = maxc
@@ -172,11 +205,10 @@ def _rgb_to_hsv(rgb: Array) -> Array:
                   jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc))
     h = (h / 6.0) % 1.0
     h = jnp.where(delta == 0, 0.0, h)
-    return jnp.stack([h, s, v], axis=-1)
+    return h, s, v
 
 
-def _hsv_to_rgb(hsv: Array) -> Array:
-    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+def _hsv_to_rgb(h: Array, s: Array, v: Array):
     i = jnp.floor(h * 6.0)
     f = h * 6.0 - i
     p = v * (1 - s)
@@ -186,7 +218,7 @@ def _hsv_to_rgb(hsv: Array) -> Array:
     r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
     g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
     b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
-    return jnp.stack([r, g, b], axis=-1)
+    return r, g, b
 
 
 def photometric_distortion(rng: Array, img: Array,
@@ -196,23 +228,30 @@ def photometric_distortion(rng: Array, img: Array,
                            hue_delta: float = 18.0) -> Array:
     """mmseg PhotoMetricDistortion: random brightness, contrast (random
     order: before or after saturation/hue), saturation, hue — each applied
-    with prob 0.5. Input/output 0..255 float."""
+    with prob 0.5. Input/output 0..255 float [H,W,3]; internals are
+    channel-planar (see _rgb_to_hsv) with one stack at the end."""
     ks = jax.random.split(rng, 10)
+    rgb = (img[..., 0], img[..., 1], img[..., 2])
 
-    def maybe(k, x, fn):
-        return jnp.where(jax.random.uniform(k, ()) < 0.5, fn(x), x)
+    def maybe(k, chans, fn):
+        coin = jax.random.uniform(k, ()) < 0.5
+        new = fn(chans)
+        return tuple(jnp.where(coin, n, o) for n, o in zip(new, chans))
 
-    img = maybe(ks[0], img, lambda x: jnp.clip(
-        x + jax.random.uniform(ks[1], (), minval=-brightness_delta,
-                               maxval=brightness_delta), 0, 255))
+    def brightness(chans):
+        d = jax.random.uniform(ks[1], (), minval=-brightness_delta,
+                               maxval=brightness_delta)
+        return tuple(jnp.clip(c + d, 0, 255) for c in chans)
 
-    def contrast(x):
+    rgb = maybe(ks[0], rgb, brightness)
+
+    def contrast(chans):
         alpha = jax.random.uniform(ks[2], (), minval=contrast_range[0],
                                    maxval=contrast_range[1])
-        return jnp.clip(x * alpha, 0, 255)
+        return tuple(jnp.clip(c * alpha, 0, 255) for c in chans)
 
-    def sat_hue(x):
-        hsv = _rgb_to_hsv(x / 255.0)
+    def sat_hue(chans):
+        h, s, v = _rgb_to_hsv(*(c / 255.0 for c in chans))
         s_mult = jnp.where(
             jax.random.uniform(ks[3], ()) < 0.5,
             jax.random.uniform(ks[4], (), minval=saturation_range[0],
@@ -221,15 +260,18 @@ def photometric_distortion(rng: Array, img: Array,
             jax.random.uniform(ks[5], ()) < 0.5,
             jax.random.uniform(ks[6], (), minval=-hue_delta,
                                maxval=hue_delta) / 360.0, 0.0)
-        hsv = hsv.at[..., 1].set(jnp.clip(hsv[..., 1] * s_mult, 0, 1))
-        hsv = hsv.at[..., 0].set((hsv[..., 0] + h_shift) % 1.0)
-        return jnp.clip(_hsv_to_rgb(hsv) * 255.0, 0, 255)
+        s = jnp.clip(s * s_mult, 0, 1)
+        h = (h + h_shift) % 1.0
+        return tuple(jnp.clip(c * 255.0, 0, 255)
+                     for c in _hsv_to_rgb(h, s, v))
 
     contrast_first = jax.random.uniform(ks[7], ()) < 0.5
-    img = jnp.where(contrast_first, maybe(ks[8], img, contrast), img)
-    img = sat_hue(img)
-    img = jnp.where(contrast_first, img, maybe(ks[9], img, contrast))
-    return img
+    pre = maybe(ks[8], rgb, contrast)
+    rgb = tuple(jnp.where(contrast_first, p, o) for p, o in zip(pre, rgb))
+    rgb = sat_hue(rgb)
+    post = maybe(ks[9], rgb, contrast)
+    rgb = tuple(jnp.where(contrast_first, o, p) for p, o in zip(post, rgb))
+    return jnp.stack(rgb, axis=-1)
 
 
 def normalize(img: Array, mean: Sequence[float], std: Sequence[float],

@@ -177,3 +177,28 @@ def test_confusion_matrix_matches_numpy_bincount():
     ref = np.bincount((label[v] * 5 + pred[v]).ravel(),
                       minlength=25).reshape(5, 5)
     np.testing.assert_array_equal(cm, ref)
+
+
+def test_trial_histograms_match_gather_bincount():
+    """The separable-multiplicity histogram (no gather, no scatter) must be
+    integer-exact against the direct formulation: nearest-resample the
+    label window per candidate origin, then bincount — including source
+    ignore pixels and out-of-image padding."""
+    from gaiaseg_tpu.data.transforms import (_label_window,
+                                             _trial_histograms)
+    rng = np.random.RandomState(3)
+    label = rng.randint(0, 5, (24, 20)).astype(np.int32)
+    label[3:6, 4:9] = 255  # source ignore pixels
+    label = jnp.asarray(label)
+    for scale in (0.4, 0.75, 1.0, 1.6):
+        cand_y = jnp.asarray(rng.randint(0, 8, (6,)), jnp.int32)
+        cand_x = jnp.asarray(rng.randint(0, 8, (6,)), jnp.int32)
+        fast = np.asarray(_trial_histograms(
+            label, jnp.float32(scale), cand_y, cand_x, (12, 10), 5, 255))
+        for t in range(6):
+            lab = np.asarray(_label_window(
+                label, jnp.float32(scale), cand_y[t], cand_x[t],
+                (12, 10), 255))
+            ref = np.bincount(np.where(lab == 255, 5, lab).reshape(-1),
+                              minlength=6)[:5]
+            np.testing.assert_array_equal(fast[t].astype(np.int64), ref)
