@@ -215,9 +215,19 @@ def _hsv_to_rgb(h: Array, s: Array, v: Array):
     q = v * (1 - s * f)
     t = v * (1 - s * (1 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    # select chain, NOT jnp.choose: choose stacks the 6 sextant images and
+    # gathers per pixel — measured ~107ms of a 112ms augment batch on v5e
+    # (elementwise gather; see CLAUDE.md "Scatter is poison"). Six selects
+    # on [H,W] planes cost ~nothing.
+    def sextant(c0, c1, c2, c3, c4, c5):
+        return jnp.where(i <= 0, c0,
+               jnp.where(i == 1, c1,
+               jnp.where(i == 2, c2,
+               jnp.where(i == 3, c3,
+               jnp.where(i == 4, c4, c5)))))
+    r = sextant(v, q, p, p, t, v)
+    g = sextant(t, v, v, q, p, p)
+    b = sextant(p, p, t, v, v, q)
     return r, g, b
 
 

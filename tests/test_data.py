@@ -202,3 +202,31 @@ def test_trial_histograms_match_gather_bincount():
             ref = np.bincount(np.where(lab == 255, 5, lab).reshape(-1),
                               minlength=6)[:5]
             np.testing.assert_array_equal(fast[t].astype(np.int64), ref)
+
+
+def test_hsv_select_chain_matches_choose_and_roundtrips():
+    """_hsv_to_rgb's sextant select chain must match the np.choose gather
+    formulation it replaced, and rgb->hsv->rgb must round-trip."""
+    from gaiaseg_tpu.data.transforms import _hsv_to_rgb, _rgb_to_hsv
+    rng = np.random.RandomState(0)
+    h = jnp.asarray(rng.rand(16, 16).astype(np.float32))
+    s = jnp.asarray(rng.rand(16, 16).astype(np.float32))
+    v = jnp.asarray(rng.rand(16, 16).astype(np.float32))
+    r, g, b = (np.asarray(c) for c in _hsv_to_rgb(h, s, v))
+
+    i = np.floor(np.asarray(h) * 6.0)
+    f = np.asarray(h) * 6.0 - i
+    p = np.asarray(v) * (1 - np.asarray(s))
+    q = np.asarray(v) * (1 - np.asarray(s) * f)
+    t = np.asarray(v) * (1 - np.asarray(s) * (1 - f))
+    vv = np.asarray(v)
+    idx = np.clip(i.astype(np.int64), 0, 5)
+    np.testing.assert_array_equal(r, np.choose(idx, [vv, q, p, p, t, vv]))
+    np.testing.assert_array_equal(g, np.choose(idx, [t, vv, vv, q, p, p]))
+    np.testing.assert_array_equal(b, np.choose(idx, [p, p, t, vv, vv, q]))
+
+    h2, s2, v2 = _rgb_to_hsv(*_hsv_to_rgb(h, s, v))
+    r2, g2, b2 = _hsv_to_rgb(h2, s2, v2)
+    np.testing.assert_allclose(np.asarray(r2), r, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2), g, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b2), b, atol=1e-5)
