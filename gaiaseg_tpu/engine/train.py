@@ -286,6 +286,32 @@ def _max_iters(cfg) -> int:
     return int(runner.get("max_epochs", 1)) * 1000
 
 
+def resolve_epoch_schedule(cfg, n_samples: int, global_batch: int):
+    """mmcv EpochBasedRunner semantics -> this loop's iter domain.
+
+    The reference fast-finetune schedules are written in epochs
+    (reference schedule_ft1x.py: step=[9,12] epochs, warmup_by_epoch,
+    total_epochs=13; schedule_all_42e.py: step=[32,38,41],
+    total_epochs=42). Returns (max_iters, lr_config) with epoch counts
+    scaled by iters-per-epoch, or (None, lr_config) when the config is
+    already iter-based (runner.max_iters / total_iters present or no
+    epoch count given).
+    """
+    runner = cfg.get("runner") or {}
+    epochs = cfg.get("total_epochs") or runner.get("max_epochs")
+    lrc = dict(cfg.get("lr_config") or {})
+    if not epochs or runner.get("max_iters") or cfg.get("total_iters"):
+        return None, lrc
+    ipe = max(int(n_samples) // max(int(global_batch), 1), 1)
+    if lrc.get("by_epoch", True) and \
+            str(lrc.get("policy", "")).lower() == "step":
+        lrc["step"] = [int(s) * ipe for s in lrc.get("step", [])]
+        lrc["by_epoch"] = False
+    if lrc.pop("warmup_by_epoch", False):
+        lrc["warmup_iters"] = int(lrc.get("warmup_iters", 1)) * ipe
+    return int(epochs) * ipe, lrc
+
+
 def train_segmentor(model, cfg, *, work_dir: str,
                     train_dataset=None, val_dataset=None,
                     train_sampler: Optional[BaseSampler] = None,
@@ -328,14 +354,16 @@ def train_segmentor(model, cfg, *, work_dir: str,
     samples_per_gpu = int(data_cfg.get("samples_per_gpu", 2))
     n_dev = mesh.devices.size
     global_batch = samples_per_gpu * n_dev
-    max_iters = max_iters or _max_iters(cfg)
+    epoch_iters, lr_config = resolve_epoch_schedule(
+        cfg, len(train_dataset), global_batch)
+    max_iters = max_iters or epoch_iters or _max_iters(cfg)
 
     # optimizer + schedule (LR scaling: reference apis/train.py:102-113)
     opt_cfg = dict(cfg.get("optimizer") or {"type": "SGD", "lr": 0.01})
     base_lr = scale_lr(opt_cfg.get("lr", 0.01), global_batch,
                        cfg.get("lr_scaler"))
     opt_cfg["lr"] = base_lr
-    schedule = build_lr_schedule(cfg.get("lr_config"), base_lr, max_iters)
+    schedule = build_lr_schedule(lr_config, base_lr, max_iters)
     model_cfg = dict(cfg.get("model") or {})
     needs_freeze = (model_cfg.get("type") == "DynamicDistiller"
                     or int((model_cfg.get("backbone") or {})

@@ -61,3 +61,23 @@ def test_pinned_arch_rule_configs_select_their_anchor(tmp_path):
             build_sample_rule(cfg["model_sampling_rules"])).pack()
         assert len(out) == 1, name
         assert tuple(out[0]["arch"]["backbone"]["body"]["depth"]) == want
+
+
+def test_resolve_epoch_schedule_translates_ft1x():
+    """Epoch-denominated schedules (reference schedule_ft1x.py) resolve to
+    the iter domain: total_epochs x ipe, step boundaries and warmup scaled
+    by iters-per-epoch; iter-based configs pass through untouched."""
+    from gaiaseg_tpu.engine.train import resolve_epoch_schedule
+    cfg = Config.fromfile(
+        osp.join(ROOT, "_dynamic_", "schedules", "schedule_ft1x.py"))
+    # cityscapes-train shapes: 2975 imgs, global batch 16 -> ipe 185
+    max_iters, lrc = resolve_epoch_schedule(cfg, 2975, 16)
+    assert max_iters == 13 * 185
+    assert lrc["step"] == [9 * 185, 12 * 185]
+    assert lrc["warmup_iters"] == 185
+    assert lrc["by_epoch"] is False and "warmup_by_epoch" not in lrc
+
+    it_cfg = {"runner": dict(max_iters=500),
+              "lr_config": dict(policy="poly", power=0.9)}
+    got, lrc2 = resolve_epoch_schedule(it_cfg, 2975, 16)
+    assert got is None and lrc2 == it_cfg["lr_config"]
