@@ -50,17 +50,23 @@ class PackedDataset:
 
     def read_batch(self, indices: np.ndarray
                    ) -> Dict[str, np.ndarray]:
-        """Gather a whole batch through the native reader."""
+        """Gather a whole batch through the native reader.
+
+        Labels come back uint8 — the on-disk dtype (ignore stays 255).
+        Every consumer casts on device where arithmetic needs width
+        (confusion_matrix, CE losses, augment all .astype(int32)
+        internally); shipping u8 skips a host widen+recast and moves 4x
+        fewer host->device bytes on the relay."""
         indices = np.ascontiguousarray(indices, np.int64)
         n = len(indices)
         imgs = np.empty((n, self.h, self.w, self.img_c), np.uint8)
-        labels = np.empty((n, self.h, self.w), np.int32)
-        rc = self._lib.packio_read_batch(
+        labels = np.empty((n, self.h, self.w), np.uint8)
+        rc = self._lib.packio_read_batch_u8(
             self._handle,
             indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             n,
             imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             self.num_threads)
         if rc != 0:
             raise IOError(f"packio_read_batch failed on {self.path}")

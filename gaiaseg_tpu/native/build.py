@@ -51,6 +51,11 @@ def load_packio() -> ctypes.CDLL:
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int]
+        lib.packio_read_batch_u8.restype = ctypes.c_int
+        lib.packio_read_batch_u8.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int]
         lib.packio_create.restype = ctypes.c_void_p
         lib.packio_create.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
                                       ctypes.c_uint32, ctypes.c_uint32,

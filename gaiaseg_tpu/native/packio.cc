@@ -49,6 +49,52 @@ struct Pack {
 
 constexpr uint32_t kMagic = 0x47534547u;
 
+// Gather `count` records by index into contiguous batch buffers.
+// Labels on disk are u8; LabelT selects raw memcpy (u8 out) or widening
+// (i32 out). 255 stays 255 either way, preserving the ignore index.
+// (Outside the extern "C" block: templates cannot take C linkage.)
+template <typename LabelT>
+static int read_batch_impl(void* handle, const int64_t* indices,
+                           int64_t count, uint8_t* imgs, LabelT* labels,
+                           int num_threads) {
+  auto* p = static_cast<Pack*>(handle);
+  if (!p) return -1;
+  const size_t img_bytes = (size_t)p->hdr.h * p->hdr.w * p->hdr.img_c;
+  const size_t lab_elems = (size_t)p->hdr.h * p->hdr.w;
+
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      int64_t idx = indices[i];
+      if (idx < 0 || (uint64_t)idx >= p->hdr.n) continue;
+      const uint8_t* rec = p->payload + (size_t)idx * p->rec_bytes;
+      std::memcpy(imgs + (size_t)i * img_bytes, rec, img_bytes);
+      const uint8_t* lab = rec + img_bytes;
+      LabelT* out = labels + (size_t)i * lab_elems;
+      if (sizeof(LabelT) == 1) {
+        std::memcpy(out, lab, lab_elems);
+      } else {
+        for (size_t j = 0; j < lab_elems; ++j) out[j] = lab[j];
+      }
+    }
+  };
+
+  if (num_threads <= 1 || count <= 1) {
+    work(0, count);
+    return 0;
+  }
+  int t = num_threads < (int)count ? num_threads : (int)count;
+  std::vector<std::thread> threads;
+  int64_t per = (count + t - 1) / t;
+  for (int k = 0; k < t; ++k) {
+    int64_t lo = k * per;
+    int64_t hi = lo + per < count ? lo + per : count;
+    if (lo >= hi) break;
+    threads.emplace_back(work, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -115,43 +161,18 @@ int packio_shape(void* handle, int64_t* out_shape) {
   return 0;
 }
 
-// Gather `count` records by index into contiguous batch buffers.
-// imgs: u8 [count, h, w, img_c]; labels: i32 [count, h, w] (widened from u8,
-// 255 stays 255 so the ignore index is preserved).
+// imgs: u8 [count, h, w, img_c]; labels: i32 [count, h, w] (widened).
 int packio_read_batch(void* handle, const int64_t* indices, int64_t count,
                       uint8_t* imgs, int32_t* labels, int num_threads) {
-  auto* p = static_cast<Pack*>(handle);
-  if (!p) return -1;
-  const size_t img_bytes = (size_t)p->hdr.h * p->hdr.w * p->hdr.img_c;
-  const size_t lab_elems = (size_t)p->hdr.h * p->hdr.w;
+  return read_batch_impl(handle, indices, count, imgs, labels, num_threads);
+}
 
-  auto work = [&](int64_t lo, int64_t hi) {
-    for (int64_t i = lo; i < hi; ++i) {
-      int64_t idx = indices[i];
-      if (idx < 0 || (uint64_t)idx >= p->hdr.n) continue;
-      const uint8_t* rec = p->payload + (size_t)idx * p->rec_bytes;
-      std::memcpy(imgs + (size_t)i * img_bytes, rec, img_bytes);
-      const uint8_t* lab = rec + img_bytes;
-      int32_t* out = labels + (size_t)i * lab_elems;
-      for (size_t j = 0; j < lab_elems; ++j) out[j] = lab[j];
-    }
-  };
-
-  if (num_threads <= 1 || count <= 1) {
-    work(0, count);
-    return 0;
-  }
-  int t = num_threads < (int)count ? num_threads : (int)count;
-  std::vector<std::thread> threads;
-  int64_t per = (count + t - 1) / t;
-  for (int k = 0; k < t; ++k) {
-    int64_t lo = k * per;
-    int64_t hi = lo + per < count ? lo + per : count;
-    if (lo >= hi) break;
-    threads.emplace_back(work, lo, hi);
-  }
-  for (auto& th : threads) th.join();
-  return 0;
+// Same gather, labels raw u8 — the on-disk dtype. Consumers that do
+// arithmetic on labels cast on device; shipping u8 keeps host casts and
+// host->device bytes 4x smaller.
+int packio_read_batch_u8(void* handle, const int64_t* indices, int64_t count,
+                         uint8_t* imgs, uint8_t* labels, int num_threads) {
+  return read_batch_impl(handle, indices, count, imgs, labels, num_threads);
 }
 
 // Writer used by tools/pack_dataset.py: create file + header, then records

@@ -36,7 +36,8 @@ def test_pack_roundtrip(tmp_path):
     b = pd.read_batch(np.asarray([6, 0, 2]))
     np.testing.assert_array_equal(b["img"][0], ds[6]["img"])
     np.testing.assert_array_equal(b["gt"][2], ds[2]["gt"])
-    assert b["gt"].dtype == np.int32
+    # u8 = the on-disk dtype; consumers cast on device (4x fewer wire bytes)
+    assert b["gt"].dtype == np.uint8
 
     # BatchLoader takes the native fast path
     loader = BatchLoader(pd, batch_size=3, shuffle=True, prefetch=0)
@@ -55,3 +56,29 @@ def test_pack_resize(tmp_path):
     rec = pd[0]
     assert rec["img"].shape == (8, 8, 3)
     assert set(np.unique(rec["gt"])) <= set(range(4)) | {255}
+
+
+def test_augment_u8_labels_match_i32():
+    """augment_batch over uint8 labels (the packed wire dtype) is
+    bit-identical to the int32 path — crop trials, ignore handling,
+    flip, and the final int32 cast included."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaiaseg_tpu.data.transforms import augment_batch
+
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.randint(0, 255, (2, 24, 20, 3), np.uint8))
+    gt8 = rng.randint(0, 5, (2, 24, 20)).astype(np.uint8)
+    gt8[:, 2:5, 3:8] = 255
+    mean = jnp.asarray([123.675, 116.28, 103.53])
+    std = jnp.asarray([58.395, 57.12, 57.375])
+    kw = dict(crop_size=(12, 10), ratio_range=(0.5, 2.0),
+              cat_max_ratio=0.75, num_classes=5, photometric=True)
+    a = augment_batch(jax.random.PRNGKey(0), img, jnp.asarray(gt8),
+                      mean, std, **kw)
+    b = augment_batch(jax.random.PRNGKey(0), img,
+                      jnp.asarray(gt8.astype(np.int32)), mean, std, **kw)
+    np.testing.assert_array_equal(np.asarray(a["gt"]), np.asarray(b["gt"]))
+    np.testing.assert_array_equal(np.asarray(a["img"], np.float32),
+                                  np.asarray(b["img"], np.float32))
