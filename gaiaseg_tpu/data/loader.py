@@ -123,3 +123,38 @@ class BatchLoader:
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
+
+
+def device_prefetch(batches, prep, depth: int = 2):
+    """Run ``prep(batch)`` (host->device upload + device-program dispatch)
+    in a background thread ``depth`` items ahead of the consumer.
+
+    On the relay, ``jnp.asarray`` blocks its calling thread for the whole
+    transfer (~140MB/s, single-core serialization) — serial upload+compute
+    loops are upload-bound. One prefetch thread overlaps the transfer with
+    the consumer's device work; ``depth`` bounds resident device batches.
+    Exceptions in ``prep``/the source iterator re-raise at the consumer.
+    The prep thread is the ONLY consumer of ``batches`` and runs prep
+    calls in order, so key-sequence determinism is preserved when prep
+    closes over a PRNG stream."""
+    q: "queue.Queue" = queue.Queue(maxsize=max(int(depth), 1))
+    stop = object()
+    err: list = []
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(prep(b))
+        except BaseException as e:
+            err.append(e)
+        finally:
+            q.put(stop)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is stop:
+            if err:
+                raise err[0]
+            return
+        yield item

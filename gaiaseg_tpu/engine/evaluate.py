@@ -20,7 +20,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..data.loader import BatchLoader
+from ..data.loader import BatchLoader, device_prefetch
 from ..data.metrics import SegEvaluator, confusion_matrix
 from ..data.pipeline_cfg import TestPipelineParams
 from ..data.transforms import prepare_eval_batch
@@ -83,14 +83,18 @@ def evaluate(model, variables, dataset, arch, *,
     loader = BatchLoader(dataset, batch_size, shuffle=False, drop_last=False,
                          shard_id=jax.process_index(),
                          num_shards=jax.process_count())
-    n = 0
-    for batch in loader:
+    def prep(batch):
         img = prepare_eval_batch(jnp.asarray(batch["img"]), mean, std)
         gt = jnp.asarray(batch["gt"])
         pad = batch.get("pad_count", 0)
         if pad:
             # wrapped tail records: neutralize their labels
             gt = gt.at[batch_size - pad:].set(255)
+        return img, gt, pad
+
+    n = 0
+    # uploads (6MB/img u8 at 1024x2048) overlap the eval dispatch
+    for img, gt, pad in device_prefetch(iter(loader), prep):
         cm = cm + eval_step(variables, img, gt, arch, bounds=bounds)
         n += batch_size - pad
         if max_batches and n >= max_batches * batch_size:
@@ -201,12 +205,16 @@ def evaluate_population(model, variables, dataset, archs, *,
                 for sel in sels]
         loader = BatchLoader(dataset, batch_size, shuffle=False,
                              drop_last=False)
-        for batch in loader:
+
+        def prep(batch):
             img = prepare_eval_batch(jnp.asarray(batch["img"]), mean, std)
             gt = jnp.asarray(batch["gt"])
             pad = batch.get("pad_count", 0)
             if pad:
                 gt = gt.at[batch_size - pad:].set(255)
+            return img, gt
+
+        for img, gt in device_prefetch(iter(loader), prep):
             for ci, stack in enumerate(stacks):
                 accs[ci] = accs[ci] + step(variables, img, gt, stack,
                                            bounds=g_bounds)

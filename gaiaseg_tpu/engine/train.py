@@ -21,8 +21,6 @@ import json
 import logging
 import os
 import os.path as osp
-import queue
-import threading
 import time
 from typing import Any, Dict, Optional, Tuple
 
@@ -34,7 +32,7 @@ from flax import struct
 
 from ..archspace.samplers import BaseSampler, build_model_sampler
 from ..data.datasets import build_dataset
-from ..data.loader import BatchLoader
+from ..data.loader import BatchLoader, device_prefetch
 from ..data.pipeline_cfg import parse_test_pipeline, parse_train_pipeline
 from ..data.transforms import augment_batch
 from ..models.arch_util import (ArchBounds, cycle_dispatch, encode_arch,
@@ -548,13 +546,14 @@ def train_segmentor(model, cfg, *, work_dir: str,
     # measured 84ms -> 44ms per batch upload). The queue holds augmented
     # device batches, bounding resident HBM to ~20MB each. Replaces the
     # reference's DataLoader worker/compute overlap (SURVEY.md §3.1) —
-    # same property, one thread, no subprocess.
+    # same property, one thread, no subprocess. The prep thread owns the
+    # rng_data stream (single consumer of data_iter => deterministic key
+    # sequence).
     rng, rng_data = jax.random.split(rng)
-    _pf_q: queue.Queue = queue.Queue(
-        maxsize=int(cfg.get("device_prefetch", max(2 * k_disp, 4))))
-    _pf_err: list = []
+    _rng_box = [rng_data]
 
-    def _prep_batch(batch, k_aug):
+    def _prep_batch(batch):
+        _rng_box[0], k_aug = jax.random.split(_rng_box[0])
         gt = batch["gt"]
         if gt.dtype != np.uint8 and num_classes <= 255:
             gt = gt.astype(np.uint8)
@@ -569,24 +568,12 @@ def train_segmentor(model, cfg, *, work_dir: str,
                             flip_prob=pipe.flip_prob)
         return shard_batch(aug, mesh)
 
-    def _pf_worker(k):
-        try:
-            while True:
-                batch = next(data_iter)
-                k, k_aug = jax.random.split(k)
-                _pf_q.put(_prep_batch(batch, k_aug))
-        except BaseException as e:  # surfaced by next_aug_batch
-            _pf_err.append(e)
-            _pf_q.put(None)
-
-    threading.Thread(target=_pf_worker, args=(rng_data,),
-                     daemon=True).start()
+    _pf_iter = device_prefetch(
+        data_iter, _prep_batch,
+        depth=int(cfg.get("device_prefetch", max(2 * k_disp, 4))))
 
     def next_aug_batch():
-        b = _pf_q.get()
-        if b is None:
-            raise RuntimeError("batch prefetch worker died") from _pf_err[0]
-        return b
+        return next(_pf_iter)
 
     def next_arch(with_meta: bool = False):
         if train_sampler is not None:
