@@ -3,6 +3,7 @@ loader sharding, mIoU."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaiaseg_tpu.data import (BatchLoader, SegEvaluator, SyntheticDataset,
                               augment_batch, confusion_matrix,
@@ -230,3 +231,31 @@ def test_hsv_select_chain_matches_choose_and_roundtrips():
     np.testing.assert_allclose(np.asarray(r2), r, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g2), g, atol=1e-5)
     np.testing.assert_allclose(np.asarray(b2), b, atol=1e-5)
+
+
+def test_device_prefetch_orders_and_propagates():
+    """device_prefetch preserves source order, runs prep exactly once per
+    item (deterministic closures stay deterministic), and re-raises prep
+    exceptions at the consumer."""
+    from gaiaseg_tpu.data.loader import device_prefetch
+
+    calls = []
+
+    def prep(x):
+        calls.append(x)
+        return x * 10
+
+    out = list(device_prefetch(iter(range(7)), prep, depth=2))
+    assert out == [0, 10, 20, 30, 40, 50, 60]
+    assert calls == list(range(7))
+
+    def bad(x):
+        if x == 3:
+            raise ValueError("boom")
+        return x
+
+    got = []
+    with pytest.raises(ValueError, match="boom"):
+        for v in device_prefetch(iter(range(10)), bad, depth=2):
+            got.append(v)
+    assert got == [0, 1, 2]
