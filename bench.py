@@ -269,6 +269,30 @@ def main():
     except Exception as e:
         log(f"e2e train measurement failed: {e!r}")
 
+    # Same loop with the dataset staged in HBM (data/device_cache.py):
+    # steady state has ZERO per-step host->device bytes, so this is what a
+    # production run with a fitting dataset sees regardless of host link.
+    train_ips_e2e_cached = None
+    try:
+        cfg_cached = dict(e2e_cfg)
+        cfg_cached["data"] = dict(
+            e2e_cfg["data"],
+            train=dict(e2e_cfg["data"]["train"], device_cache=True))
+        log(f"timing e2e train loop (device-cached dataset)...")
+        with tempfile.TemporaryDirectory() as wd:
+            _, hist = train_segmentor(
+                build_segmentor(ge._FLAGSHIP), cfg_cached, work_dir=wd)
+        rows = hist.get("loss") or []
+        if rows:
+            tail = rows[1:-1] if len(rows) > 2 else rows
+            train_ips_e2e_cached = float(np.median(
+                [r["img_per_sec"] for r in tail]))
+            log(f"e2e train (device cache): {train_ips_e2e_cached:.2f} "
+                f"img/s (windows: "
+                f"{[round(r['img_per_sec'], 1) for r in rows]})")
+    except Exception as e:
+        log(f"cached e2e train measurement failed: {e!r}")
+
     # ---- slide inference at 1024x2048 (R50 anchor) --------------------- #
     r50_meta = {"arch.backbone.stem.width": 64,
                 "arch.backbone.body.width": [64, 128, 256, 512],
@@ -428,6 +452,9 @@ def main():
                 if train_ips_k8 else None,
             "train_img_per_sec_e2e": round(float(train_ips_e2e), 3)
                 if train_ips_e2e else None,
+            "train_img_per_sec_e2e_device_cache":
+                round(float(train_ips_e2e_cached), 3)
+                if train_ips_e2e_cached else None,
             "slide_batch": slide_batch,
             "slide_1024x2048_img_per_sec_per_chip": round(float(slide_ips), 4),
             "slide_img_per_sec_batch1": round(float(slide_ips_b1), 4),

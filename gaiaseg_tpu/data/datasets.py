@@ -207,4 +207,9 @@ class SyntheticDataset:
 def build_dataset(cfg: Dict[str, Any]):
     cfg = dict(cfg)
     cfg.pop("pipeline", None)
-    return DATASETS.build(cfg)
+    cache = cfg.pop("device_cache", False)
+    ds = DATASETS.build(cfg)
+    if cache:
+        from .device_cache import maybe_device_cache
+        ds = maybe_device_cache(ds, cache)
+    return ds

@@ -1,0 +1,148 @@
+"""Device-resident dataset cache: stage a fixed-shape dataset in HBM once,
+serve batches as on-device row gathers — zero per-step host->device bytes.
+
+Why this exists: the train/eval loops are fed by a single prefetch thread
+whose uploads move at the host link's speed (on this image's relay,
+~55-140MB/s; on a directly-attached TPU host, PCIe). For datasets that fit
+in HBM (Cityscapes-512 train packs ~3GB; the v5e has 16GB), uploading the
+whole packed tensor ONCE and indexing it on device removes the host from
+the steady-state loop entirely — the TPU-native replacement for the
+reference's per-GPU DataLoader worker pool (SURVEY.md §3.1), which exists
+only to hide exactly this transfer.
+
+Numerically transparent: ``read_batch(idx)`` returns the same pixels the
+base dataset would, as device arrays (uint8 images, uint8 labels when the
+class ids + ignore=255 fit), so ``BatchLoader``'s fast path and the
+device-side augment consume them unchanged — ``jnp.asarray`` on an
+already-resident array is a no-op.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+from typing import Dict
+
+import numpy as np
+
+logger = logging.getLogger("gaiaseg_tpu")
+
+# per-process HBM budget for caches (init-time peak is cache + one slab)
+_DEFAULT_BUDGET_GB = float(os.environ.get("GAIASEG_DEVICE_CACHE_GB", 8.0))
+
+
+def _record_shape(ds):
+    h = getattr(ds, "h", None)
+    w = getattr(ds, "w", None)
+    c = getattr(ds, "img_c", 3)
+    if h is None or w is None:
+        rec = ds[0]
+        h, w = rec["img"].shape[:2]
+        c = rec["img"].shape[2] if rec["img"].ndim == 3 else 1
+    return int(h), int(w), int(c)
+
+
+def cache_nbytes(ds) -> int:
+    h, w, c = _record_shape(ds)
+    return len(ds) * (h * w * c + h * w)
+
+
+class DeviceCachedDataset:
+    """Wraps any fixed-shape record dataset; images+labels live in HBM.
+
+    Labels are stored uint8 when every value fits (trainIds < 256 incl.
+    ignore=255 — always true for the 19/150-class targets here); images
+    keep their native dtype (uint8 end-to-end on the packed path).
+    Attribute access (CLASSES, PALETTE, num_classes, ...) delegates to the
+    base dataset; ``__getitem__`` stays a host-side read (used only for
+    shape probing and rare tails) so nothing ever downloads from device.
+    """
+
+    def __init__(self, base, slab_bytes: int = 64 << 20):
+        import jax
+        import jax.numpy as jnp
+
+        self.base = base
+        n = len(base)
+        h, w, c = _record_shape(base)
+
+        # donated slab writes build the cache in place: peak = cache + slab
+        @partial(jax.jit, donate_argnums=(0,))
+        def _write(cache, slab, start):
+            return jax.lax.dynamic_update_slice(
+                cache, slab, (start,) + (0,) * (cache.ndim - 1))
+
+        rec0 = base[0]
+        img_dt = rec0["img"].dtype
+        gt_np = np.asarray(rec0["gt"])
+        gt_u8 = gt_np.max(initial=0) <= 255 and gt_np.min(initial=0) >= 0
+        gt_dt = np.uint8 if gt_u8 else gt_np.dtype
+
+        imgs = jnp.zeros((n, h, w, c), img_dt)
+        gts = jnp.zeros((n, h, w), gt_dt)
+        per_rec = h * w * c * np.dtype(img_dt).itemsize
+        step = max(1, int(slab_bytes // max(per_rec, 1)))
+        read = getattr(base, "read_batch", None)
+        for s in range(0, n, step):
+            idx = np.arange(s, min(s + step, n))
+            if read is not None:
+                b = read(idx)
+                bi, bg = np.asarray(b["img"]), np.asarray(b["gt"])
+            else:
+                recs = [base[int(i)] for i in idx]
+                bi = np.stack([r["img"] for r in recs])
+                bg = np.stack([r["gt"] for r in recs])
+            if gt_u8 and bg.dtype != np.uint8:
+                assert bg.max(initial=0) <= 255, \
+                    "label ids exceed uint8; disable device_cache"
+                bg = bg.astype(np.uint8)
+            imgs = _write(imgs, jnp.asarray(bi, img_dt), s)
+            gts = _write(gts, jnp.asarray(bg, gt_dt), s)
+        self._imgs, self._gts = imgs, gts
+
+        # full-row gathers are MXU/relay-friendly (unlike elementwise
+        # scatter/gather — see CLAUDE.md perf rules)
+        self._gather = jax.jit(lambda a, i: a[i])
+        logger.info(
+            "device cache: %d records (%dx%dx%d) = %.2f GB resident",
+            n, h, w, c, (imgs.nbytes + gts.nbytes) / 2 ** 30)
+
+    # -- dataset protocol ------------------------------------------------ #
+    def read_batch(self, indices: np.ndarray) -> Dict[str, np.ndarray]:
+        import jax.numpy as jnp
+        idx = jnp.asarray(np.ascontiguousarray(indices, np.int32))
+        return {"img": self._gather(self._imgs, idx),
+                "gt": self._gather(self._gts, idx),
+                "idx": np.asarray(indices, np.int64)}
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getitem__(self, idx: int):
+        return self.base[idx]
+
+    def __getattr__(self, name):
+        return getattr(self.base, name)
+
+
+def maybe_device_cache(ds, flag, budget_gb: float = None):
+    """Wrap ``ds`` in a DeviceCachedDataset when ``flag`` asks for it and
+    the cache fits the per-process HBM budget (``device_cache: true`` in a
+    dataset config; a number sets the budget in GB). Falls back to the
+    streaming path with a warning instead of OOMing the chip."""
+    if isinstance(flag, str):  # --cfg-options ships strings
+        low = flag.strip().lower()
+        if low in ("false", "0", "no", ""):
+            return ds
+        flag = True if low in ("true", "yes") else float(flag)
+    if not flag:
+        return ds
+    budget = float(flag) if not isinstance(flag, bool) else \
+        (budget_gb if budget_gb is not None else _DEFAULT_BUDGET_GB)
+    need = cache_nbytes(ds)
+    if need > budget * 2 ** 30:
+        logger.warning(
+            "device_cache: dataset needs %.2f GB > %.1f GB budget; "
+            "streaming from host instead", need / 2 ** 30, budget)
+        return ds
+    return DeviceCachedDataset(ds)

@@ -47,9 +47,13 @@ class BatchLoader:
 
     def _stack(self, chunk, pad_count: int = 0) -> Dict[str, np.ndarray]:
         fast = getattr(self.dataset, "read_batch", None)
-        if fast is not None and not pad_count:
-            # native gather path (PackedDataset)
-            return fast(np.asarray(chunk))
+        if fast is not None:
+            # native gather path (PackedDataset / DeviceCachedDataset);
+            # padded tails wrap indices in ``chunk`` already
+            batch = fast(np.asarray(chunk))
+            if pad_count:
+                batch = dict(batch, pad_count=pad_count)
+            return batch
         recs = [self.dataset[int(j)] for j in chunk]
         batch = {
             "img": np.stack([r["img"] for r in recs]),
