@@ -40,6 +40,10 @@ class DynamicEncoderDecoder(nn.Module):
     train_cfg: Optional[Dict[str, Any]] = None
     test_cfg: Optional[Dict[str, Any]] = None
     pretrained: Optional[str] = None    # handled by checkpoint converter
+    # fused upsample+CE Pallas path (ops/pallas/resize_ce.py): None = auto
+    # (on for plain-CE heads on TPU), True forces it (interpret mode off
+    # TPU — tests), False disables
+    fused_loss: Optional[bool] = None
 
     # reference search_space (dynamic_encoder_decoder.py:11); only backbone
     # manipulation is non-trivial (:31-42)
@@ -129,21 +133,53 @@ class DynamicEncoderDecoder(nn.Module):
         losses: Dict[str, Array] = {}
 
         dec = self.decode_head_m(feats, train=train)
-        dec = resize_bilinear(dec, label_hw, self.align_corners)
-        losses["decode.loss_seg"] = self.loss_decode(dec, gt)
         if compute_acc:
+            # accuracy needs the full-res prediction anyway — shared path
+            dec = resize_bilinear(dec, label_hw, self.align_corners)
+            losses["decode.loss_seg"] = self.loss_decode(dec, gt)
             losses["decode.acc_seg"] = pixel_accuracy(dec, gt)
+        else:
+            losses["decode.loss_seg"] = self._seg_loss(
+                dec, gt, label_hw, self.loss_decode)
 
         for i, (head, loss_fn) in enumerate(zip(self.aux_heads,
                                                 self.aux_losses)):
             a = head(feats, train=train)
-            a = resize_bilinear(a, label_hw, self.align_corners)
-            losses[f"aux_{i}.loss_seg"] = loss_fn(a, gt)
             if compute_acc:
+                a = resize_bilinear(a, label_hw, self.align_corners)
+                losses[f"aux_{i}.loss_seg"] = loss_fn(a, gt)
                 losses[f"aux_{i}.acc_seg"] = pixel_accuracy(a, gt)
+            else:
+                losses[f"aux_{i}.loss_seg"] = self._seg_loss(
+                    a, gt, label_hw, loss_fn)
 
         total = sum(v for k, v in losses.items() if "loss" in k)
         return total, losses
+
+    def _seg_loss(self, logit: Array, gt: Array, label_hw,
+                  loss_fn) -> Array:
+        """Loss of label-resolution-resized logits. Plain-CE heads on TPU
+        route through the fused upsample+CE Pallas kernel
+        (ops/pallas/resize_ce.py) — same semantics as
+        ``loss_fn(resize_bilinear(logit, label_hw), gt)`` without the
+        [N,H,W,C] full-res HBM round-trip (~7.5ms/step at 512x512 b8)."""
+        from ...models.losses.cross_entropy import CrossEntropyLoss
+        from ...ops.pallas.resize_ce import (fused_resize_ce,
+                                             supports_fused_resize_ce)
+        on_tpu = jax.default_backend() == "tpu"
+        fuse = self.fused_loss if self.fused_loss is not None else on_tpu
+        plain_ce = (isinstance(loss_fn, CrossEntropyLoss)
+                    and not loss_fn.use_sigmoid
+                    and loss_fn.class_weight is None
+                    and loss_fn.reduction == "mean"
+                    and loss_fn.avg_non_ignore)
+        if fuse and plain_ce and supports_fused_resize_ce(
+                logit.shape[1:3], tuple(label_hw), self.align_corners):
+            return loss_fn.loss_weight * fused_resize_ce(
+                logit, gt, (int(label_hw[0]), int(label_hw[1])),
+                255, not on_tpu)
+        up = resize_bilinear(logit, label_hw, self.align_corners)
+        return loss_fn(up, gt)
 
     # ------------------------------------------------------------------ #
     def whole_inference(self, img: Array, arch: Dict[str, Any],
