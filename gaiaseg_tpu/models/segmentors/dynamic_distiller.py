@@ -81,15 +81,22 @@ class DynamicDistiller(DynamicEncoderDecoder):
         losses: Dict[str, Array] = {}
 
         dec = self.decode_head_m(feats, train=True)
-        dec_r = resize_bilinear(dec, label_hw, self.align_corners)
-        losses["decode.loss_seg"] = self.loss_decode(dec_r, gt)
         if compute_acc:
+            # accuracy needs the full-res prediction anyway — shared path
+            dec_r = resize_bilinear(dec, label_hw, self.align_corners)
+            losses["decode.loss_seg"] = self.loss_decode(dec_r, gt)
             losses["decode.acc_seg"] = pixel_accuracy(dec_r, gt)
+        else:
+            # fused upsample+CE Pallas path when eligible (_seg_loss,
+            # encoder_decoder.py) — the hot distill step avoids the
+            # full-res logit HBM round-trip exactly like the plain trainer
+            losses["decode.loss_seg"] = self._seg_loss(
+                dec, gt, label_hw, self.loss_decode)
         for i, (head, loss_fn) in enumerate(zip(self.aux_heads,
                                                 self.aux_losses)):
-            a = resize_bilinear(head(feats, train=True), label_hw,
-                                self.align_corners)
-            losses[f"aux_{i}.loss_seg"] = loss_fn(a, gt)
+            a = head(feats, train=True)
+            losses[f"aux_{i}.loss_seg"] = self._seg_loss(
+                a, gt, label_hw, loss_fn)
 
         t_feats, t_logits = self.teacher_forward(img)
         if t_logits is not None and w_distill > 0:
