@@ -39,6 +39,47 @@ def _pair(v) -> Tuple[int, int]:
 conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
+def space_to_depth_conv(x: Array, kernel: Array,
+                        strides: Tuple[int, int],
+                        padding: Tuple[int, int]) -> Array:
+    """Strided low-channel conv via W-phase space-to-depth. Exact identity.
+
+    For stride ``s``, ``y[j] = sum_v x[s*j + v - p] w[v]`` regroups by input
+    phase ``q = (v-p) mod s``: packing the W phases into channels turns the
+    W stride into a stride-1 conv over ``s*Ci`` channels. In NHWC the W and
+    C dims are adjacent minor dims, so that packing is a FREE reshape —
+    unlike full 2D space-to-depth, whose H-phase interleave transpose costs
+    more than it saves (measured on v5e at 1024x2048x3, 7x7/2 stem: dense
+    3.50ms, full-S2D 5.27ms, this W-only form **1.23ms**). H keeps the
+    conventional stride. Low-channel strided convs (stems, patch embeds:
+    Ci=3) are where XLA's TPU conv lowering otherwise pads the contraction
+    depth to the MXU lane count and burns ~40x the nominal FLOPs. Reference
+    stems this accelerates: dynamic_resnet.py:255-302 (7x7/2 + deep_stem
+    3x3/2), dynamic_convnext.py:178-181 (4x4/4), elastic patchify k==s.
+
+    Weight layout is untouched: ``kernel`` stays ``[kh,kw,Ci,Co]`` and the
+    tap reshuffle is traced, so checkpoints/extraction/conversion never see
+    it (grads flow back through the pad/reshape to the canonical layout —
+    the dW conv gets the same packed-channel speedup). Requires W divisible
+    by ``strides[1]`` (guarded by the caller).
+    """
+    n, h, w, ci = x.shape
+    kh, kw, _, co = kernel.shape
+    (sh, sw), (ph, pw) = strides, padding
+    left = -(-pw // sw)                  # ceil(pw/sw) = -t_min
+    t_max = (kw - 1 - pw) // sw
+    tw = t_max + left + 1                # W taps on the packed grid
+    front = left * sw - pw               # zeros before w along W
+    kp = jnp.pad(kernel, ((0, 0), (front, tw * sw - kw - front),
+                          (0, 0), (0, 0)))
+    kp = kp.reshape(kh, tw, sw, ci, co).reshape(kh, tw, sw * ci, co)
+    xp = x.reshape(n, h, w // sw, sw * ci)
+    return jax.lax.conv_general_dilated(
+        xp, kp, window_strides=(sh, 1),
+        padding=((ph, ph), (left, t_max)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def _stored_shape(mod: nn.Module, name: str):
     """Shape of an already-created param (apply time), else None (init)."""
     if mod.has_variable("params", name):
@@ -113,15 +154,27 @@ class DynConv2d(nn.Module):
             pad_w = dw * (kw - 1) // 2
         else:
             pad_h, pad_w = _pair(self.padding)
-        # same-dtype operands; the TPU MXU accumulates bf16 in f32 natively
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(sh, sw),
-            padding=((pad_h, pad_h), (pad_w, pad_w)),
-            rhs_dilation=(dh, dw),
-            feature_group_count=self.groups,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        # low-channel strided convs (stems / patch embeds) take the W-phase
+        # space-to-depth formulation: same math, sw*Ci contraction depth
+        # instead of an MXU-lane-padded Ci (see space_to_depth_conv)
+        if (self.groups == 1 and dh == 1 and dw == 1
+                and sw > 1 and kernel.shape[2] <= 8
+                and x.ndim == 4 and x.shape[2] % sw == 0
+                and (x.shape[2] + 2 * pad_w - kw) // sw + 1 == x.shape[2] // sw):
+            y = space_to_depth_conv(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                (sh, sw), (pad_h, pad_w))
+        else:
+            # same-dtype operands; the TPU MXU accumulates bf16 in f32
+            # natively
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(sh, sw),
+                padding=((pad_h, pad_h), (pad_w, pad_w)),
+                rhs_dilation=(dh, dw),
+                feature_group_count=self.groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), self.param_dtype)

@@ -147,3 +147,42 @@ def test_conv_module_bn_relu():
     assert y.shape == (2, 6, 6, 8)
     assert np.all(np.asarray(y) >= 0)
     assert np.all(np.asarray(y[..., 6:]) == 0)
+
+
+@pytest.mark.parametrize("k,s,p,hw", [
+    (7, 2, 3, (64, 96)),     # ResNet/Conformer 7x7/2 stem
+    (3, 2, 1, (64, 96)),     # deep_stem (v1c) first 3x3/2 conv
+    (4, 4, 0, (64, 64)),     # ConvNeXt 4x4/4 stem
+    (16, 16, 0, (64, 64)),   # ViT/BEiT patchify (k == s)
+])
+def test_space_to_depth_conv_identity(k, s, p, hw):
+    """space_to_depth_conv == lax strided conv, exactly (up to f32 order).
+
+    This is the low-channel stem fast path DynConv2d takes for Ci<=8
+    strided convs — the phase regrouping is an algebraic identity, so any
+    drift here corrupts every backbone's stem silently."""
+    from gaiaseg_tpu.ops.dynamic_layers import space_to_depth_conv
+    rng = np.random.RandomState(k * 100 + s)
+    x = jnp.asarray(rng.randn(2, hw[0], hw[1], 3), jnp.float32)
+    w = jnp.asarray(rng.randn(k, k, 3, 16), jnp.float32) * 0.1
+    ref = jax.lax.conv_general_dilated(
+        x, w, (s, s), ((p, p), (p, p)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = space_to_depth_conv(x, w, (s, s), (p, p))
+    assert ref.shape == got.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_dynconv_stem_path_matches_dense_conv():
+    """DynConv2d's low-channel W-phase stem path must match the plain
+    strided conv it replaces (W%stride==0 triggers it here)."""
+    m = DynConv2d(8, kernel_size=7, strides=2, dtype=F32)
+    x = jax.random.normal(KEY, (1, 32, 32, 3))
+    v = m.init(KEY, x)
+    y_fast = m.apply(v, x)                      # 32%2==0 -> s2d path
+    y_ref = jax.lax.conv_general_dilated(
+        x, v["params"]["kernel"], (2, 2), ((3, 3), (3, 3)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
