@@ -171,11 +171,17 @@ def main():
 
             cur_k = [state]
 
+            # lrs as data, mirroring the production dispatch (values are
+            # irrelevant to timing; PASSING them keeps the compiled
+            # program identical to engine/train.py's)
+            lrs_k = jnp.asarray([schedule(i) for i in range(k)],
+                                jnp.float32)
+
             def step_k8(i, _state=cur_k):
                 _state[0], _ = multi_step(_state[0], imgs_k, gts_k,
                                           arch_stack, rngs_k,
                                           bucket_ids=bids_k,
-                                          bounds_seq=bseq)
+                                          bounds_seq=bseq, lrs=lrs_k)
                 return _state[0].step
 
             log("timing train steps (K=8 bounded-cycle dispatch)...")
@@ -419,8 +425,12 @@ def main():
                                 for b in arch_bounds]))
     nom_cycle = float(np.mean([gflops(canonical_arch(max_arch, m),
                                       (512, 512)) for m in metas]))
-    train_tf_exec = 3 * 2 * exec_cycle * (train_ips_k8 or 0.0) / 1e3
-    train_tf_nom = 3 * 2 * nom_cycle * (train_ips_k8 or 0.0) / 1e3
+    # None (not 0.0) when the timing failed: a reader must see "not
+    # measured", never "measured 0% MFU"
+    train_tf_exec = 3 * 2 * exec_cycle * train_ips_k8 / 1e3 \
+        if train_ips_k8 else None
+    train_tf_nom = 3 * 2 * nom_cycle * train_ips_k8 / 1e3 \
+        if train_ips_k8 else None
     r50_arch = canonical_arch(max_arch, r50_meta)
     slide_gf_exec = 9 * gflops(bounds_arch(max_arch, r50_bounds),
                                (512, 1024))   # 3x3 window grid
@@ -476,9 +486,12 @@ def main():
                 "convention); TF/s and MFU use 2*MACs, train 3x forward",
             "train_gmacs_per_img_executed": round(exec_cycle, 1),
             "train_gmacs_per_img_nominal": round(nom_cycle, 1),
-            "train_tflops_per_sec": round(train_tf_exec, 1),
-            "train_mfu_executed": mfu(train_tf_exec),
-            "train_mfu_nominal": mfu(train_tf_nom),
+            "train_tflops_per_sec": round(train_tf_exec, 1)
+                if train_tf_exec else None,
+            "train_mfu_executed": mfu(train_tf_exec)
+                if train_tf_exec else None,
+            "train_mfu_nominal": mfu(train_tf_nom)
+                if train_tf_nom else None,
             "slide_gmacs_per_img_executed": round(slide_gf_exec, 1),
             "slide_tflops_per_sec": round(slide_tf, 1),
             "slide_mfu_executed": mfu(slide_tf),

@@ -43,8 +43,17 @@ def _record_shape(ds):
 
 
 def cache_nbytes(ds) -> int:
+    """Bytes the cache would actually allocate (native image dtype; labels
+    stored uint8 when they fit, mirroring DeviceCachedDataset.__init__ —
+    a 1-byte/element assumption here would undercount f32 images 4x and
+    defeat the OOM guard)."""
     h, w, c = _record_shape(ds)
-    return len(ds) * (h * w * c + h * w)
+    rec0 = ds[0]
+    img_isz = np.asarray(rec0["img"]).dtype.itemsize
+    gt_np = np.asarray(rec0["gt"])
+    gt_u8 = gt_np.max(initial=0) <= 255 and gt_np.min(initial=0) >= 0
+    gt_isz = 1 if gt_u8 else gt_np.dtype.itemsize
+    return len(ds) * (h * w * c * img_isz + h * w * gt_isz)
 
 
 class DeviceCachedDataset:
@@ -132,9 +141,17 @@ def maybe_device_cache(ds, flag, budget_gb: float = None):
     streaming path with a warning instead of OOMing the chip."""
     if isinstance(flag, str):  # --cfg-options ships strings
         low = flag.strip().lower()
-        if low in ("false", "0", "no", ""):
+        if low in ("false", "0", "no", "off", ""):
             return ds
-        flag = True if low in ("true", "yes") else float(flag)
+        if low in ("true", "1", "yes", "on"):
+            flag = True
+        else:
+            try:
+                flag = float(low)
+            except ValueError:
+                raise ValueError(
+                    f"device_cache={flag!r}: expected true/false or a "
+                    "budget in GB (e.g. device_cache=6.0)") from None
     if not flag:
         return ds
     budget = float(flag) if not isinstance(flag, bool) else \

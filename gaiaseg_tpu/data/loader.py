@@ -99,34 +99,69 @@ class BatchLoader:
         if self.prefetch <= 0:
             yield from self._batches()
             return
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        sentinel = object()
-        err: list = []
-
-        def worker():
-            try:
-                for b in self._batches():
-                    q.put(b)
-            except BaseException as e:  # propagate into consumer
-                err.append(e)
-            finally:
-                q.put(sentinel)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        yield from _pump(self._batches, self.prefetch)
 
     def __len__(self) -> int:
         n = len(self._indices())
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
+
+
+def _pump(make_items, maxsize: int):
+    """Producer thread + bounded queue with a clean shutdown path.
+
+    Yields the items of ``make_items()``. When the consumer stops early
+    (``.close()`` / generator GC / exception), the producer is signalled
+    and queued items are dropped so their references release — without
+    this, an abandoned prefetch thread blocks forever on ``q.put`` holding
+    ~maxsize prepped batches (device HBM, for ``device_prefetch``) for the
+    life of the process; repeated ``train_segmentor`` calls in one process
+    (fast-finetune sweeps, bench) would leak the chip dry. Producer
+    exceptions re-raise at the consumer."""
+    q: "queue.Queue" = queue.Queue(maxsize=max(int(maxsize), 1))
+    stop = object()
+    done = threading.Event()
+    err: list = []
+
+    def worker():
+        try:
+            for item in make_items():
+                while not done.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        pass
+                else:
+                    return
+                del item
+        except BaseException as e:  # propagate into consumer
+            err.append(e)
+        finally:
+            while not done.is_set():
+                try:
+                    q.put(stop, timeout=0.2)
+                    break
+                except queue.Full:
+                    pass
+
+    threading.Thread(target=worker, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        done.set()
+        try:
+            while True:  # release refs the producer already queued
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def device_prefetch(batches, prep, depth: int = 2):
@@ -140,25 +175,13 @@ def device_prefetch(batches, prep, depth: int = 2):
     Exceptions in ``prep``/the source iterator re-raise at the consumer.
     The prep thread is the ONLY consumer of ``batches`` and runs prep
     calls in order, so key-sequence determinism is preserved when prep
-    closes over a PRNG stream."""
-    q: "queue.Queue" = queue.Queue(maxsize=max(int(depth), 1))
-    stop = object()
-    err: list = []
+    closes over a PRNG stream. Closing the returned generator (it is
+    closed by ``train_segmentor``'s finally) shuts the thread down and
+    releases the staged device batches; abandoning it to the GC does the
+    same via ``_pump``'s finally."""
 
-    def worker():
-        try:
-            for b in batches:
-                q.put(prep(b))
-        except BaseException as e:
-            err.append(e)
-        finally:
-            q.put(stop)
+    def gen():
+        for b in batches:
+            yield prep(b)
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is stop:
-            if err:
-                raise err[0]
-            return
-        yield item
+    yield from _pump(gen, depth)

@@ -94,11 +94,17 @@ def evaluate(model, variables, dataset, arch, *,
 
     n = 0
     # uploads (6MB/img u8 at 1024x2048) overlap the eval dispatch
-    for img, gt, pad in device_prefetch(iter(loader), prep):
-        cm = cm + eval_step(variables, img, gt, arch, bounds=bounds)
-        n += batch_size - pad
-        if max_batches and n >= max_batches * batch_size:
-            break
+    pf = device_prefetch(iter(loader), prep)
+    try:
+        for img, gt, pad in pf:
+            cm = cm + eval_step(variables, img, gt, arch, bounds=bounds)
+            n += batch_size - pad
+            if max_batches and n >= max_batches * batch_size:
+                break
+    finally:
+        # the max_batches break leaves the producer mid-stream; close it
+        # so the staged device batches release instead of pinning HBM
+        pf.close()
     if jax.process_count() > 1:
         from ..parallel.mesh import all_gather_objects
         import numpy as _np

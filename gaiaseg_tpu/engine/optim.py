@@ -37,22 +37,25 @@ def build_lr_schedule(lr_config: Optional[Dict], base_lr: float,
     warmup_iters = int(cfg.get("warmup_iters", 0))
     warmup_ratio = float(cfg.get("warmup_ratio", 0.1))
 
+    # Pure host-side float math (NOT jnp): schedules are evaluated on the
+    # host every dispatch and shipped as DATA into the injected-lr
+    # optimizer state (build_optimizer) — a jnp formulation here would
+    # dispatch tiny device programs per step and bake nothing anyway.
     if policy == "poly":
         power = float(cfg.get("power", 0.9))
         min_lr = float(cfg.get("min_lr", 0.0))
 
         def main(step):
-            import jax.numpy as jnp
-            p = jnp.clip(1.0 - step / max(max_iters, 1), 0.0, 1.0)
+            p = min(max(1.0 - float(step) / max(max_iters, 1), 0.0), 1.0)
             return min_lr + (base_lr - min_lr) * (p ** power)
     elif policy == "step":
-        steps = cfg.get("step", [])
+        steps = sorted(int(s) for s in cfg.get("step", []))
         gamma = float(cfg.get("gamma", 0.1))
-        boundaries = {int(s): gamma for s in steps}
-        sched = optax.piecewise_constant_schedule(base_lr, boundaries)
 
         def main(step):
-            return sched(step)
+            # decay AT the milestone (mmcv StepLrUpdaterHook counts
+            # milestones <= progress, like torch MultiStepLR)
+            return base_lr * gamma ** sum(float(step) >= s for s in steps)
     elif policy in ("fixed", "constant"):
         def main(step):
             return base_lr
@@ -67,6 +70,32 @@ def build_lr_schedule(lr_config: Optional[Dict], base_lr: float,
             return warm * (step < warmup_iters) + m * (step >= warmup_iters)
         return schedule
     return main
+
+
+def set_learning_rate(opt_state, lr):
+    """Functionally set the injected learning rate in an optimizer state.
+
+    Works host-side between dispatches (a one-scalar upload) and inside a
+    jitted program with a traced ``lr`` (make_multi_train_step applies the
+    exact per-position schedule value this way). Finds every
+    inject_hyperparams node (any NamedTuple whose ``hyperparams`` dict has
+    a ``learning_rate`` entry — optax 0.2.6 names it
+    InjectStatefulHyperparamsState) without assuming where it sits in the
+    chain/masked wrapper nesting."""
+    import jax.numpy as jnp
+    lr = jnp.asarray(lr, jnp.float32)
+
+    def rec(s):
+        hp = getattr(s, "hyperparams", None)
+        if isinstance(hp, dict) and "learning_rate" in hp:
+            return s._replace(hyperparams={**hp, "learning_rate": lr})
+        if hasattr(s, "_fields"):  # other NamedTuple states: recurse
+            return type(s)(*(rec(getattr(s, f)) for f in s._fields))
+        if isinstance(s, (tuple, list)):
+            return type(s)(rec(x) for x in s)
+        return s
+
+    return rec(opt_state)
 
 
 def freeze_labels(params: Dict[str, Any], model_cfg: Optional[Dict] = None
@@ -137,7 +166,19 @@ def build_optimizer(optimizer_cfg: Dict[str, Any],
     else:
         raise ValueError(f"unknown optimizer {opt_type!r}")
 
-    chain.append(optax.scale_by_learning_rate(lr_or_sched))
+    # The learning rate rides in the optimizer STATE (inject_hyperparams),
+    # never in the compiled program: baking a schedule closure here turns
+    # max_iters/warmup/base_lr into HLO constants, so EVERY different run
+    # length recompiles every step program — 10-20 min per unrolled-cycle
+    # program on the relay (this is why bench's 64-iter e2e run used to
+    # recompile programs an 80k-iter warmup had already cached). The train
+    # loop sets the exact per-step value host-side (``set_learning_rate``
+    # / the ``lrs`` arg of make_multi_train_step); a caller that never
+    # does runs at the base lr. ``schedule`` stays in the signature for
+    # the callers that evaluate it host-side.
+    del lr_or_sched
+    chain.append(optax.inject_hyperparams(optax.scale_by_learning_rate)(
+        learning_rate=float(lr)))
     tx = optax.chain(*chain)
     if freeze_mask is not None:
         tx = optax.chain(tx, optax.masked(

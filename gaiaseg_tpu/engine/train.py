@@ -43,7 +43,7 @@ from .checkpoint import (latest_checkpoint, load_checkpoint, save_checkpoint,
                          update_latest)
 from .evaluate import cross_arch_evaluate
 from .optim import (build_lr_schedule, build_optimizer, freeze_labels,
-                    scale_lr)
+                    scale_lr, set_learning_rate)
 
 logger = logging.getLogger("gaiaseg_tpu")
 
@@ -144,7 +144,11 @@ def make_multi_train_step(model, tx, k: int):
     @functools.partial(jax.jit, donate_argnums=(0,),
                        static_argnames=("bounds_seq",))
     def multi_step(state: TrainState, imgs, gts, archs, rngs,
-                   bucket_ids=None, bounds_seq=None):
+                   bucket_ids=None, bounds_seq=None, lrs=None):
+        # ``lrs``: [k] f32 — the exact per-position schedule values,
+        # applied via the injected-lr optimizer state so the schedule
+        # never bakes into the program (see optim.build_optimizer). The
+        # production loop always passes it; None keeps the state's lr.
         if bounds_seq is not None:
             st = state
             for i in range(k):
@@ -176,15 +180,16 @@ def make_multi_train_step(model, tx, k: int):
                         bucket_ids[i],
                         [grad_at(c) for c in b_i.candidates],
                         st.params)
-                updates, opt_state = tx.update(grads, st.opt_state,
-                                               st.params)
+                opt_in = st.opt_state if lrs is None else \
+                    set_learning_rate(st.opt_state, lrs[i])
+                updates, opt_state = tx.update(grads, opt_in, st.params)
                 params = optax.apply_updates(st.params, updates)
                 st = st.replace(step=st.step + 1, params=params,
                                 opt_state=opt_state)
             return st, {}
 
         def body(st, xs):
-            img, gt, arch, rng = xs
+            img, gt, arch, rng, lr_i = xs
 
             def loss_fn(params):
                 (total, logs), mut = model.apply(
@@ -195,14 +200,19 @@ def make_multi_train_step(model, tx, k: int):
 
             (loss, (logs, mut)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(st.params)
-            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            opt_in = st.opt_state if lr_i is None else \
+                set_learning_rate(st.opt_state, lr_i)
+            updates, opt_state = tx.update(grads, opt_in, st.params)
             params = optax.apply_updates(st.params, updates)
             new_st = st.replace(
                 step=st.step + 1, params=params, opt_state=opt_state,
                 batch_stats=mut.get("batch_stats", st.batch_stats))
             return new_st, dict(logs)
 
-        state, logs = jax.lax.scan(body, state, (imgs, gts, archs, rngs))
+        state, logs = jax.lax.scan(
+            body, state,
+            (imgs, gts, archs, rngs,
+             None if lrs is None else lrs))
         return state, logs  # logs leaves stacked [k]
 
     return multi_step
@@ -267,10 +277,20 @@ def load_teacher_checkpoint(path: str, params: Dict[str, Any],
     keys = [k for k in ("t_backbone", "t_decode_head", "t_neck")
             if k in params]
     tmpl = {"params": {k: params[k] for k in keys}}
+    # BN running stats ride along with the params: the teacher runs with
+    # use_running_average=True, so leaving its stats at fresh init (0/1)
+    # would silently corrupt the distillation signal — the same failure
+    # the .pth branch guards against via _convert_head.
+    bs_keys = [k for k in keys if batch_stats.get(k)]
+    if bs_keys:
+        tmpl["batch_stats"] = {k: batch_stats[k] for k in bs_keys}
     loaded, _ = load_checkpoint(path, tmpl)
     for k in keys:
         params[k] = loaded["params"][k]
-    logger.info("loaded teacher subtrees %s from %s", keys, path)
+    for k in bs_keys:
+        batch_stats[k] = loaded["batch_stats"][k]
+    logger.info("loaded teacher subtrees %s (+stats %s) from %s",
+                keys, bs_keys, path)
     return params, batch_stats
 
 
@@ -536,7 +556,7 @@ def train_segmentor(model, cfg, *, work_dir: str,
             bucketer = None
     data_iter = iter(loader)
     t_last = time.time()
-    loss_acc, n_acc = 0.0, 0
+    loss_acc, n_acc, last_loss = 0.0, 0, float("nan")
 
     # Device-side batch prefetch: upload + augment dispatch + shard run in
     # a background thread so host->device transfer (the relay link moves
@@ -609,7 +629,11 @@ def train_segmentor(model, cfg, *, work_dir: str,
                 jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *archs),
                 jax.random.split(k_drop, k_disp),
                 bucket_ids=jnp.asarray(bids or [0] * k_disp, jnp.int32),
-                bounds_seq=bseq)
+                bounds_seq=bseq,
+                # exact per-position schedule values as DATA (the schedule
+                # never bakes into the program — optim.build_optimizer)
+                lrs=jnp.asarray([schedule(it + i) for i in range(k_disp)],
+                                jnp.float32))
             if logs_k:
                 logs = {k: v[-1] for k, v in logs_k.items()}
                 loss_acc += float(jnp.mean(logs_k["decode.loss_seg"]))
@@ -631,6 +655,8 @@ def train_segmentor(model, cfg, *, work_dir: str,
                 # bounds=None: ONE full program (MAX bounds) serves every
                 # arch here — numerics are identical and it avoids a full-
                 # variant compile per bucket for a once-per-log-line step
+                state = state.replace(opt_state=set_learning_rate(
+                    state.opt_state, schedule(it + k_disp)))
                 state, logs = train_step(state, sharded["img"],
                                          sharded["gt"], archs[-1], k_drop)
                 loss_acc += float(logs["decode.loss_seg"])
@@ -644,6 +670,8 @@ def train_segmentor(model, cfg, *, work_dir: str,
             # iterations; silent fast step otherwise (see make_train_step)
             step_fn = train_step if (it + 1) % log_interval == 0 \
                 else train_step_fast
+            state = state.replace(opt_state=set_learning_rate(
+                state.opt_state, schedule(it)))
             state, logs = step_fn(state, sharded["img"], sharded["gt"],
                                   arch, k_drop, bounds=bounds)
             if logs:
@@ -657,11 +685,17 @@ def train_segmentor(model, cfg, *, work_dir: str,
             dt = time.time() - t_last
             ips = log_interval * global_batch / max(dt, 1e-9)
             lr_now = float(schedule(it))
+            if n_acc:
+                last_loss = loss_acc / n_acc
+            # n_acc == 0 happens only in the run's FINAL window, where the
+            # boundary full step is skipped to keep `it` from overshooting
+            # max_iters (the unrolled cycle is silent): carry the previous
+            # window's loss instead of recording a bogus 0.0.
             logger.info(
                 "iter %d/%d loss=%.4f lr=%.2e %.1f img/s",
-                it, max_iters, loss_acc / max(n_acc, 1), lr_now, ips)
+                it, max_iters, last_loss, lr_now, ips)
             history["loss"].append(
-                {"iter": it, "loss": loss_acc / max(n_acc, 1),
+                {"iter": it, "loss": last_loss,
                  "img_per_sec": ips,
                  # component losses from the latest full step (e.g. the
                  # distiller's distill_loss_seg / pairwise_loss_seg) so
@@ -710,6 +744,12 @@ def train_segmentor(model, cfg, *, work_dir: str,
                                       test_params=test_pipe)
             history["eval"].append({"iter": it, "metrics": res})
 
+    # shut the prefetch thread down and release its staged device batches
+    # (the data iterator is infinite, so it never closes by exhaustion;
+    # without this every train_segmentor call in a sweep pins ~depth
+    # augmented batches in HBM). The exception path is covered by _pump's
+    # finally when the abandoned generator is collected.
+    _pf_iter.close()
     with open(osp.join(work_dir, "history.json"), "w") as f:
         json.dump(history, f, indent=2, default=float)
     return state, history

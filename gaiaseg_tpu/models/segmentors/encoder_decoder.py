@@ -245,27 +245,25 @@ class DynamicEncoderDecoder(nn.Module):
             rows.append(jnp.concatenate(cells, axis=2))
         return jnp.concatenate(rows, axis=1)
 
+    def _mode_logits(self, img: Array, arch: Dict[str, Any],
+                     bounds=None) -> Array:
+        """test_cfg mode dispatch (whole / slide) — the single copy shared
+        by ``inference`` and ``simple_test``'s no-TTA fast path."""
+        cfg = dict(self.test_cfg or {"mode": "whole"})
+        if cfg.get("mode") == "slide":
+            return self.slide_inference(img, arch, tuple(cfg["crop_size"]),
+                                        tuple(cfg["stride"]), bounds=bounds)
+        return self.whole_inference(img, arch, bounds=bounds)
+
     def inference(self, img: Array, arch: Dict[str, Any],
                   flip: bool = False, bounds=None) -> Array:
         """Softmax probs with optional horizontal flip TTA
         (reference dynamic_distiller.py:475-508)."""
-        cfg = dict(self.test_cfg or {"mode": "whole"})
-        if cfg.get("mode") == "slide":
-            logit = self.slide_inference(img, arch,
-                                         tuple(cfg["crop_size"]),
-                                         tuple(cfg["stride"]), bounds=bounds)
-        else:
-            logit = self.whole_inference(img, arch, bounds=bounds)
+        logit = self._mode_logits(img, arch, bounds=bounds)
         prob = jax.nn.softmax(logit.astype(jnp.float32), axis=-1)
         if flip:
-            flipped = img[:, :, ::-1, :]
-            if cfg.get("mode") == "slide":
-                logit_f = self.slide_inference(flipped, arch,
-                                               tuple(cfg["crop_size"]),
-                                               tuple(cfg["stride"]),
-                                               bounds=bounds)
-            else:
-                logit_f = self.whole_inference(flipped, arch, bounds=bounds)
+            logit_f = self._mode_logits(img[:, :, ::-1, :], arch,
+                                        bounds=bounds)
             prob = (prob + jax.nn.softmax(
                 logit_f.astype(jnp.float32), -1)[:, :, ::-1, :]) / 2
         return prob
@@ -278,15 +276,8 @@ class DynamicEncoderDecoder(nn.Module):
             # [N,1024,2048,19] f32 canvas is pure HBM traffic (C=19 pads to
             # 128 lanes). Reference semantics (argmax of probs,
             # dynamic_distiller.py:510-521) are preserved exactly.
-            cfg = dict(self.test_cfg or {"mode": "whole"})
-            if cfg.get("mode") == "slide":
-                logit = self.slide_inference(img, arch,
-                                             tuple(cfg["crop_size"]),
-                                             tuple(cfg["stride"]),
-                                             bounds=bounds)
-            else:
-                logit = self.whole_inference(img, arch, bounds=bounds)
-            return jnp.argmax(logit, axis=-1)
+            return jnp.argmax(self._mode_logits(img, arch, bounds=bounds),
+                              axis=-1)
         return jnp.argmax(self.inference(img, arch, flip, bounds=bounds),
                           axis=-1)
 

@@ -62,7 +62,11 @@ def main():
     sampler_cfg = cfg.get("train_sampler") or Config.fromfile(
         args.sampler)["train_sampler"]
     sampler = build_model_sampler(sampler_cfg)
-    bucketer = make_depth_bucketer(sampler, max_arch)
+    # rand_k must match engine/train.py: the BoundsSwitch candidate set is
+    # part of the cycle program's compile key, so a different rand_k here
+    # precompiles programs production never runs
+    bucketer = make_depth_bucketer(
+        sampler, max_arch, rand_k=int(cfg.get("arch_bounds_rand_k", 6)))
 
     # enumerate reachable cycle variants by replaying the sampler through
     # the SAME shared enumeration the train loop dispatches
@@ -105,11 +109,15 @@ def main():
     multi = make_multi_train_step(model, tx, k)
     if args.max_variants is not None:
         variants = variants[:args.max_variants]
+    # lr values are data (injected-lr optimizer state), so ONE set of
+    # programs serves every schedule/run length — pass the vector to
+    # match the production dispatch exactly
+    lrs_k = jnp.asarray([schedule(i) for i in range(k)], jnp.float32)
     for i, bseq in enumerate(variants):
         t0 = time.time()
         state, _ = multi(state, imgs_k, gts_k, arch_stack, rngs_k,
                          bucket_ids=jnp.asarray(ids_of[bseq], jnp.int32),
-                         bounds_seq=bseq)
+                         bounds_seq=bseq, lrs=lrs_k)
         jax.tree_util.tree_leaves(state.params)[0].block_until_ready()
         print(f"[{i + 1}/{len(variants)}] cycle variant "
               f"{[getattr(b, 'body_depth', 'switch') for b in bseq]}: "
