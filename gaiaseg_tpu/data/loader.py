@@ -24,8 +24,14 @@ class BatchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = True,
                  shard_id: int = 0, num_shards: int = 1,
-                 prefetch: int = 2, infinite: bool = False):
+                 prefetch: int = 2, infinite: bool = False,
+                 index_only: bool = False):
         self.dataset = dataset
+        # index_only: yield {'idx'} batches without materializing pixels —
+        # consumers that own a device-resident cache gather+augment in one
+        # fused program (transforms.gather_augment_batch) instead of paying
+        # a separate gather dispatch per step
+        self.index_only = index_only
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
@@ -46,6 +52,11 @@ class BatchLoader:
         return idx
 
     def _stack(self, chunk, pad_count: int = 0) -> Dict[str, np.ndarray]:
+        if self.index_only:
+            batch = {"idx": np.ascontiguousarray(chunk, np.int32)}
+            if pad_count:
+                batch["pad_count"] = pad_count
+            return batch
         fast = getattr(self.dataset, "read_batch", None)
         if fast is not None:
             # native gather path (PackedDataset / DeviceCachedDataset);

@@ -80,13 +80,26 @@ def evaluate(model, variables, dataset, arch, *,
     # the integer confusion matrices are summed host-side (the TPU analog
     # of collect_results_*: the CM is the entire eval state, a [C,C] int
     # array, so the gather is trivial and exact)
+    # device-cached val sets skip pixel batches: ONE fused program does
+    # row-gather + normalize + tail masking (see gather_augment_batch —
+    # split gather/prep dispatches pay the relay's per-program floor twice
+    # plus an extra HBM round-trip of the batch)
+    from ..data.device_cache import DeviceCachedDataset
+    from ..data.transforms import gather_prepare_eval_batch
+    _cache = dataset if isinstance(dataset, DeviceCachedDataset) else None
     loader = BatchLoader(dataset, batch_size, shuffle=False, drop_last=False,
                          shard_id=jax.process_index(),
-                         num_shards=jax.process_count())
+                         num_shards=jax.process_count(),
+                         index_only=_cache is not None)
     def prep(batch):
+        pad = batch.get("pad_count", 0)
+        if _cache is not None:
+            img, gt = gather_prepare_eval_batch(
+                _cache._imgs, _cache._gts, jnp.asarray(batch["idx"]),
+                mean, std, jnp.asarray(pad, jnp.int32))
+            return img, gt, pad
         img = prepare_eval_batch(jnp.asarray(batch["img"]), mean, std)
         gt = jnp.asarray(batch["gt"])
-        pad = batch.get("pad_count", 0)
         if pad:
             # wrapped tail records: neutralize their labels
             gt = gt.at[batch_size - pad:].set(255)
@@ -209,13 +222,22 @@ def evaluate_population(model, variables, dataset, archs, *,
             for sel in sels]
         accs = [jnp.zeros((len(sel), num_classes, num_classes), jnp.int32)
                 for sel in sels]
+        from ..data.device_cache import DeviceCachedDataset
+        from ..data.transforms import gather_prepare_eval_batch
+        _cache = dataset if isinstance(dataset, DeviceCachedDataset) \
+            else None
         loader = BatchLoader(dataset, batch_size, shuffle=False,
-                             drop_last=False)
+                             drop_last=False,
+                             index_only=_cache is not None)
 
         def prep(batch):
+            pad = batch.get("pad_count", 0)
+            if _cache is not None:
+                return gather_prepare_eval_batch(
+                    _cache._imgs, _cache._gts, jnp.asarray(batch["idx"]),
+                    mean, std, jnp.asarray(pad, jnp.int32))
             img = prepare_eval_batch(jnp.asarray(batch["img"]), mean, std)
             gt = jnp.asarray(batch["gt"])
-            pad = batch.get("pad_count", 0)
             if pad:
                 gt = gt.at[batch_size - pad:].set(255)
             return img, gt

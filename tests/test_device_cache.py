@@ -61,6 +61,43 @@ def test_build_dataset_device_cache_key():
     assert isinstance(ds, DeviceCachedDataset)
 
 
+def test_index_only_loader_yields_indices():
+    c = DeviceCachedDataset(_base(n=10))
+    batches = list(BatchLoader(c, 4, shuffle=True, seed=3, drop_last=True,
+                               prefetch=0, index_only=True))
+    assert len(batches) == 2
+    for b in batches:
+        assert set(b) == {"idx"} and b["idx"].dtype == np.int32
+    ref = list(BatchLoader(c, 4, shuffle=True, seed=3, drop_last=True,
+                           prefetch=0))
+    for b, r in zip(batches, ref):
+        assert np.array_equal(b["idx"], r["idx"])
+
+
+def test_fused_gather_augment_matches_split():
+    """gather_augment_batch(key, cache, idx) must equal gather -> augment
+    as two dispatches with the same key (the fused path replaces the split
+    one on the device-cache train loop)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaiaseg_tpu.data.transforms import (augment_batch,
+                                             gather_augment_batch)
+    c = DeviceCachedDataset(_base(n=8, size=(32, 32)))
+    idx = jnp.asarray([5, 1, 6, 2], jnp.int32)
+    mean = jnp.asarray([123.675, 116.28, 103.53])
+    std = jnp.asarray([58.395, 57.12, 57.375])
+    kw = dict(crop_size=(24, 24), ratio_range=(0.75, 1.5),
+              cat_max_ratio=0.75, num_classes=19, photometric=True,
+              flip_prob=0.5)
+    key = jax.random.PRNGKey(42)
+    split = augment_batch(key, c._imgs[idx], c._gts[idx], mean, std, **kw)
+    fused = gather_augment_batch(key, c._imgs, c._gts, idx, mean, std, **kw)
+    assert np.array_equal(np.asarray(split["img"], np.float32),
+                          np.asarray(fused["img"], np.float32))
+    assert np.array_equal(np.asarray(split["gt"]), np.asarray(fused["gt"]))
+
+
 @pytest.mark.slow
 def test_train_runs_on_cached_dataset(tmp_path):
     from gaiaseg_tpu.engine import train_segmentor
