@@ -350,6 +350,30 @@ def gather_augment_batch(rng: Array, cache_imgs: Array, cache_gts: Array,
                          mean, std, **kw)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "crop_size", "ratio_range", "cat_max_ratio", "num_classes",
+    "photometric", "flip_prob"))
+def gather_augment_step(carry_key: Array, pos: Array, idx_buf: Array,
+                        cache_imgs: Array, cache_gts: Array,
+                        mean: Array, std: Array, **kw):
+    """Self-advancing device-side feed for a device-resident cache: ONE
+    program per step with ZERO per-step host->device traffic.
+
+    The relay charges ~2.5ms latency for ANY host upload (even a 32-byte
+    index batch) and ~1ms for a host-dispatched `jax.random.split`
+    (measured — see docs/PERF.md). So the feed state lives on device and
+    chains through the program: ``carry_key`` advances by the exact
+    ``new, k_aug = jax.random.split(key)`` chain the host loop used
+    (bit-identical augment streams), ``pos`` indexes a [W,B] index buffer
+    uploaded once per W steps. Returns ``(new_key, pos+1, batch)``."""
+    ks = jax.random.split(carry_key)
+    idx = jax.lax.dynamic_index_in_dim(idx_buf, pos, axis=0,
+                                       keepdims=False)
+    out = augment_batch(ks[1], cache_imgs[idx], cache_gts[idx],
+                        mean, std, **kw)
+    return ks[0], pos + 1, out
+
+
 @functools.partial(jax.jit, static_argnames=("size",))
 def prepare_eval_batch(imgs: Array, mean: Array, std: Array,
                        size: Optional[Tuple[int, int]] = None) -> Array:

@@ -590,12 +590,6 @@ def train_segmentor(model, cfg, *, work_dir: str,
 
     def _prep_batch(batch):
         _rng_box[0], k_aug = jax.random.split(_rng_box[0])
-        if _dev_cache is not None:
-            from ..data.transforms import gather_augment_batch
-            aug = gather_augment_batch(
-                k_aug, _dev_cache._imgs, _dev_cache._gts,
-                jnp.asarray(batch["idx"]), mean, std, **_aug_kw)
-            return shard_batch(aug, mesh)
         gt = batch["gt"]
         if gt.dtype != np.uint8 and num_classes <= 255:
             gt = gt.astype(np.uint8)
@@ -603,9 +597,45 @@ def train_segmentor(model, cfg, *, work_dir: str,
                             jnp.asarray(gt), mean, std, **_aug_kw)
         return shard_batch(aug, mesh)
 
-    _pf_iter = device_prefetch(
-        data_iter, _prep_batch,
-        depth=int(cfg.get("device_prefetch", max(2 * k_disp, 4))))
+    if _dev_cache is not None:
+        # device-resident feed: the prep thread's per-step work is ONE
+        # program dispatch with zero host->device bytes — indices upload
+        # as a [W,B] buffer once per W steps, the PRNG key and buffer
+        # position chain through the program on device (the relay charges
+        # ~2.5ms latency per upload and ~1ms per host-side key split —
+        # at a ~40ms step that tax was ~9%). The in-program split chain
+        # reproduces the host `split(box)` sequence exactly, so the
+        # augment stream is bit-identical to the streaming path's.
+        from ..data.transforms import gather_augment_step
+
+        def _cached_items(chunk_w: int = 32):
+            import itertools
+            src = data_iter
+            while True:
+                chunk = list(itertools.islice(src, chunk_w))
+                if not chunk:
+                    return
+                buf = np.stack([b["idx"] for b in chunk])
+                if len(chunk) < chunk_w:  # static shape: pad, yield len()
+                    buf = np.concatenate(
+                        [buf, np.repeat(buf[-1:], chunk_w - len(chunk), 0)])
+                idx_buf = jnp.asarray(np.ascontiguousarray(buf, np.int32))
+                pos = jnp.zeros((), jnp.int32)
+                for _ in chunk:
+                    _rng_box[0], pos, aug = gather_augment_step(
+                        _rng_box[0], pos, idx_buf,
+                        _dev_cache._imgs, _dev_cache._gts,
+                        mean, std, **_aug_kw)
+                    yield shard_batch(aug, mesh)
+
+        from ..data.loader import _pump
+        _pf_iter = _pump(_cached_items,
+                         int(cfg.get("device_prefetch",
+                                     max(2 * k_disp, 4))))
+    else:
+        _pf_iter = device_prefetch(
+            data_iter, _prep_batch,
+            depth=int(cfg.get("device_prefetch", max(2 * k_disp, 4))))
 
     def next_aug_batch():
         return next(_pf_iter)

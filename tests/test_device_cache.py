@@ -98,6 +98,46 @@ def test_fused_gather_augment_matches_split():
     assert np.array_equal(np.asarray(split["gt"]), np.asarray(fused["gt"]))
 
 
+def test_device_feed_chain_matches_host_split_chain():
+    """gather_augment_step's in-program key chain must reproduce the host
+    loop's `box, k = split(box)` sequence exactly — the device-resident
+    feed is only legal because the augment stream stays bit-identical to
+    the streaming path's."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaiaseg_tpu.data.transforms import (augment_batch,
+                                             gather_augment_step)
+    c = DeviceCachedDataset(_base(n=12, size=(32, 32)))
+    mean = jnp.asarray([123.675, 116.28, 103.53])
+    std = jnp.asarray([58.395, 57.12, 57.375])
+    kw = dict(crop_size=(24, 24), ratio_range=(0.75, 1.5),
+              cat_max_ratio=0.75, num_classes=19, photometric=True,
+              flip_prob=0.5)
+    idx_buf = jnp.asarray([[0, 5], [7, 2], [11, 3]], jnp.int32)
+
+    key = jax.random.PRNGKey(7)
+    pos = jnp.zeros((), jnp.int32)
+    dev_out = []
+    for _ in range(3):
+        key, pos, out = gather_augment_step(key, pos, idx_buf,
+                                            c._imgs, c._gts,
+                                            mean, std, **kw)
+        dev_out.append(out)
+    assert int(pos) == 3
+
+    box = jax.random.PRNGKey(7)
+    for j in range(3):
+        box, k_aug = jax.random.split(box)
+        ref = augment_batch(k_aug, c._imgs[idx_buf[j]], c._gts[idx_buf[j]],
+                            mean, std, **kw)
+        assert np.array_equal(np.asarray(ref["img"], np.float32),
+                              np.asarray(dev_out[j]["img"], np.float32))
+        assert np.array_equal(np.asarray(ref["gt"]),
+                              np.asarray(dev_out[j]["gt"]))
+    assert np.array_equal(np.asarray(box), np.asarray(key))
+
+
 @pytest.mark.slow
 def test_train_runs_on_cached_dataset(tmp_path):
     from gaiaseg_tpu.engine import train_segmentor
