@@ -247,7 +247,8 @@ def _setup(R, ctx):
     from gaiaseg_tpu.models import (build_segmentor, encode_arch,
                                     model_max_arch)
     from gaiaseg_tpu.models.arch_util import (BoundsSwitch, cycle_dispatch,
-                                              make_depth_bucketer)
+                                              make_depth_bucketer,
+                                              scan_dispatch)
     from gaiaseg_tpu.utils import Config
     import __graft_entry__ as ge
 
@@ -299,15 +300,26 @@ def _setup(R, ctx):
     ctx["metas"] = metas
     ctx["archs"] = [encode_arch(ctx["max_arch"], m) for m in metas]
     # the EXACT production cycle dispatch (shared enumeration with
-    # engine/train.py and tools/warmup_cache.py): anchors exact static
-    # bounds, randoms a lax.switch over the bucketer's candidate set
-    cycle_bseq, cycle_bids = cycle_dispatch(metas, bucketer)
-    ctx["cycle_bseq"], ctx["cycle_bids"] = cycle_bseq, cycle_bids
-    # effective per-position executed bounds (for the MFU arithmetic)
-    ctx["arch_bounds"] = [
-        b if not isinstance(b, BoundsSwitch) else b.candidates[i]
-        for b, i in zip(cycle_bseq, cycle_bids)] \
-        if cycle_bseq else [bucketer(m) for m in metas]
+    # engine/train.py and tools/warmup_cache.py). Default = SCAN mode
+    # (lax.scan over one switch body, draw-order-independent compile
+    # key); GAIASEG_BENCH_CYCLE=unroll times the per-position
+    # static-bounds program instead (A/B).
+    ctx["cycle_mode"] = os.environ.get("GAIASEG_BENCH_CYCLE", "scan")
+    if ctx["cycle_mode"] == "scan":
+        scan_cands, scan_ids = scan_dispatch(metas, bucketer)
+        ctx["scan_cands"], ctx["scan_ids"] = scan_cands, scan_ids
+        ctx["cycle_bseq"], ctx["cycle_bids"] = None, None
+        ctx["arch_bounds"] = [scan_cands[i] for i in scan_ids] \
+            if scan_cands else [bucketer(m) for m in metas]
+    else:
+        ctx["scan_cands"], ctx["scan_ids"] = None, None
+        cycle_bseq, cycle_bids = cycle_dispatch(metas, bucketer)
+        ctx["cycle_bseq"], ctx["cycle_bids"] = cycle_bseq, cycle_bids
+        # effective per-position executed bounds (for the MFU arithmetic)
+        ctx["arch_bounds"] = [
+            b if not isinstance(b, BoundsSwitch) else b.candidates[i]
+            for b, i in zip(cycle_bseq, cycle_bids)] \
+            if cycle_bseq else [bucketer(m) for m in metas]
 
     from gaiaseg_tpu.engine.optim import build_lr_schedule, build_optimizer
     schedule = build_lr_schedule(dict(policy="poly", power=0.9), 0.01, 1000)
@@ -359,8 +371,14 @@ def _sec_train_k8(R, ctx):
             imgs_k = jnp.broadcast_to(img, (k,) + img.shape)
             gts_k = jnp.broadcast_to(gt, (k,) + gt.shape)
             rngs_k = jax.random.split(rng, k)
-            bseq = ctx["cycle_bseq"] or tuple(ctx["arch_bounds"])
-            bids_k = jnp.asarray(ctx["cycle_bids"] or [0] * k, jnp.int32)
+            scands = ctx["scan_cands"]
+            if scands is not None:
+                bseq = None
+                bids_k = jnp.asarray(ctx["scan_ids"], jnp.int32)
+            else:
+                bseq = ctx["cycle_bseq"] or tuple(ctx["arch_bounds"])
+                bids_k = jnp.asarray(ctx["cycle_bids"] or [0] * k,
+                                     jnp.int32)
             cur = [state]
             # lrs as data, mirroring the production dispatch (values are
             # irrelevant to timing; PASSING them keeps the compiled
@@ -372,7 +390,9 @@ def _sec_train_k8(R, ctx):
                 _state[0], _ = multi_step(_state[0], imgs_k, gts_k,
                                           arch_stack, rngs_k,
                                           bucket_ids=bids_k,
-                                          bounds_seq=bseq, lrs=lrs_k)
+                                          bounds_seq=bseq,
+                                          scan_candidates=scands,
+                                          lrs=lrs_k)
                 return _state[0].step
 
             log("timing train steps (K=8 bounded-cycle dispatch)...")
@@ -423,9 +443,10 @@ def _ensure_eval_ctx(ctx):
     ctx["slide_batch"] = 4
     ctx["img4"] = jnp.concatenate([img1] * ctx["slide_batch"])
     # init through forward_train so aux-head params exist (extraction
-    # needs the full tree)
-    ctx["variables"] = model.init(
-        {"params": rng, "dropout": rng},
+    # needs the full tree); jit_init = one cached program, not eager ops
+    from gaiaseg_tpu.models.arch_util import jit_init
+    ctx["variables"] = jit_init(
+        model, {"params": rng, "dropout": rng},
         jnp.zeros((1, 64, 64, 3), jnp.bfloat16),
         jnp.zeros((1, 64, 64), jnp.int32), ctx["r50"],
         method="forward_train")

@@ -18,7 +18,7 @@ import numpy as np
 from ..data.datasets import CITYSCAPES_PALETTE
 from ..data.pipeline_cfg import parse_test_pipeline
 from ..data.transforms import prepare_eval_batch
-from ..models.arch_util import encode_arch, model_max_arch
+from ..models.arch_util import encode_arch, jit_init, model_max_arch
 from ..models.builder import build_segmentor
 from ..utils.config import Config
 from .checkpoint import load_checkpoint
@@ -56,8 +56,9 @@ def init_segmentor(config: Union[str, Config],
     k = jax.random.PRNGKey(seed)
     # init through forward_train so auxiliary-head params exist in the
     # template (checkpoints from training carry them)
-    variables = model.init({"params": k, "dropout": k}, init_img, init_gt,
-                           encode_arch(max_arch), method="forward_train")
+    variables = jit_init(model, {"params": k, "dropout": k}, init_img,
+                         init_gt, encode_arch(max_arch),
+                         method="forward_train")
     classes = palette = None
     if checkpoint:
         tmpl = {"params": variables["params"],

@@ -36,7 +36,8 @@ from ..data.loader import BatchLoader, device_prefetch
 from ..data.pipeline_cfg import parse_test_pipeline, parse_train_pipeline
 from ..data.transforms import augment_batch
 from ..models.arch_util import (ArchBounds, cycle_dispatch, encode_arch,
-                                make_depth_bucketer, model_max_arch)
+                                jit_init, make_depth_bucketer,
+                                model_max_arch, scan_dispatch)
 from ..parallel.mesh import (broadcast_object, make_mesh, replicate,
                              shard_batch)
 from .checkpoint import (latest_checkpoint, load_checkpoint, save_checkpoint,
@@ -56,10 +57,12 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_train_state(model, rng, sample_img, arch, tx) -> TrainState:
-    # init through forward_train so auxiliary-head params exist too
+    # init through forward_train so auxiliary-head params exist too.
+    # jit_init: ONE compiled program instead of eager per-op dispatches
+    # (~8 min -> one cached compile + one dispatch on the relay)
     dummy_gt = jnp.zeros(sample_img.shape[:3], jnp.int32)
-    variables = model.init({"params": rng, "dropout": rng}, sample_img,
-                           dummy_gt, arch, method=model.forward_train)
+    variables = jit_init(model, {"params": rng, "dropout": rng}, sample_img,
+                         dummy_gt, arch, method=model.forward_train)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
@@ -128,27 +131,69 @@ def make_multi_train_step(model, tx, k: int):
     arrive stacked on a leading K axis — one dispatch per full sandwich
     cycle (K=8) runs every anchor + random subnet of the cycle.
 
-    Two modes, selected by the STATIC ``bounds_seq``:
-    - ``None``: lax.scan of K full steps (loss logs + BN stat updates
+    Three modes, selected by the STATIC ``scan_candidates``/``bounds_seq``:
+    - ``scan_candidates`` (tuple of ArchBounds, the PRODUCTION default):
+      ``lax.scan`` over ONE silent step body whose gradient is a
+      ``lax.switch(bucket_ids[i], branches)`` with one branch per
+      candidate — anchors select their exact bounds, randoms their
+      cheapest cover, so per-step executed cost equals the unrolled
+      path's, while the compiled program is K times smaller (the
+      flagship unrolled cycle is 23 fwd+bwd graph copies / a 193MB
+      executable / ~20min cold compile; the scan body is 10). The
+      static key (the candidate tuple) is draw-order-INDEPENDENT:
+      bench, warmup and every training cycle share one program.
+    - ``bounds_seq`` tuple of K entries: UNROLLED cycle, silent. An
+      ``ArchBounds`` entry executes step i at those STATIC bounds; a
+      ``BoundsSwitch`` entry emits ``lax.switch`` over its candidates
+      (kept for A/B measurement — ``cycle_mode: unroll``).
+    - neither: lax.scan of K full steps (loss logs + BN stat updates
       every step; one shared MAX-cost program).
-    - tuple of K entries: UNROLLED cycle, silent (no loss/stat outputs:
-      each costs ~2x, see make_train_step). An ``ArchBounds`` entry
-      executes step i at those STATIC bounds (the subnet-proportional
-      fast path; anchors get their exact bounds). A ``BoundsSwitch``
-      entry emits ``lax.switch(bucket_ids[i], branches)`` over one
-      gradient branch per candidate bound, so random draws pay their own
-      bucket's sliced cost at runtime while the compile key — the static
-      entry tuple — is identical for every cycle (ONE program total).
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,),
-                       static_argnames=("bounds_seq",))
+                       static_argnames=("bounds_seq", "scan_candidates"))
     def multi_step(state: TrainState, imgs, gts, archs, rngs,
-                   bucket_ids=None, bounds_seq=None, lrs=None):
+                   bucket_ids=None, bounds_seq=None, lrs=None,
+                   scan_candidates=None):
         # ``lrs``: [k] f32 — the exact per-position schedule values,
         # applied via the injected-lr optimizer state so the schedule
         # never bakes into the program (see optim.build_optimizer). The
         # production loop always passes it; None keeps the state's lr.
+        if scan_candidates is not None:
+            def sbody(st, xs):
+                img, gt, arch, rng, bid, lr_i = xs
+
+                def grad_at(b):
+                    def loss_fn(params):
+                        (total, _), _ = model.apply(
+                            {"params": params,
+                             "batch_stats": st.batch_stats},
+                            img, gt, arch, False, b,
+                            method=model.forward_train, mutable=[],
+                            rngs={"dropout": rng})
+                        return total
+
+                    return jax.grad(loss_fn)
+
+                if len(scan_candidates) == 1:
+                    grads = grad_at(scan_candidates[0])(st.params)
+                else:
+                    grads = jax.lax.switch(
+                        bid, [grad_at(c) for c in scan_candidates],
+                        st.params)
+                opt_in = st.opt_state if lr_i is None else \
+                    set_learning_rate(st.opt_state, lr_i)
+                updates, opt_state = tx.update(grads, opt_in, st.params)
+                params = optax.apply_updates(st.params, updates)
+                return st.replace(step=st.step + 1, params=params,
+                                  opt_state=opt_state), None
+
+            state, _ = jax.lax.scan(
+                sbody, state,
+                (imgs, gts, archs, rngs, bucket_ids,
+                 None if lrs is None else lrs))
+            return state, {}
+
         if bounds_seq is not None:
             st = state
             for i in range(k):
@@ -562,6 +607,11 @@ def train_segmentor(model, cfg, *, work_dir: str,
                 rand_k=int(cfg.get("arch_bounds_rand_k", 6)))
         except Exception:
             bucketer = None
+    # "scan" (default): cycle program is a lax.scan over one switch-
+    # dispatched body — same executed cost as the unrolled cycle, ~2.3x
+    # smaller executable / cold compile, and a draw-order-independent
+    # compile key. "unroll" keeps the per-position static-bounds program.
+    cycle_mode = str(cfg.get("cycle_mode", "scan"))
     data_iter = iter(loader)
     t_last = time.time()
     loss_acc, n_acc, last_loss = 0.0, 0, float("nan")
@@ -660,12 +710,19 @@ def train_segmentor(model, cfg, *, work_dir: str,
             batches = [next_aug_batch() for _ in range(k_disp)]
             triples = [next_arch(with_meta=True) for _ in range(k_disp)]
             archs = [a for a, _, _ in triples]
-            # anchors exact static bounds; randoms a lax.switch over the
-            # bucketer's candidate set selected by traced bucket ids — the
-            # shared enumeration (also driven by bench.py and
-            # tools/warmup_cache.py, so precompiled variants match)
-            bseq, bids = cycle_dispatch([m for _, _, m in triples],
-                                        bucketer)
+            # SCAN mode (default): one lax.scan program whose switch
+            # branch table (the static key) never changes across cycles;
+            # UNROLL keeps the per-position static-bounds cycle for A/B.
+            # Both enumerations are shared with bench.py and
+            # tools/warmup_cache.py, so precompiled variants match.
+            if cycle_mode == "scan":
+                bseq, bids = None, None
+                scands, sids = scan_dispatch([m for _, _, m in triples],
+                                             bucketer)
+            else:
+                scands, sids = None, None
+                bseq, bids = cycle_dispatch([m for _, _, m in triples],
+                                            bucketer)
             rng, k_drop = jax.random.split(rng)
             state, logs_k = multi_step(
                 state,
@@ -673,8 +730,10 @@ def train_segmentor(model, cfg, *, work_dir: str,
                 jnp.stack([b["gt"] for b in batches]),
                 jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *archs),
                 jax.random.split(k_drop, k_disp),
-                bucket_ids=jnp.asarray(bids or [0] * k_disp, jnp.int32),
+                bucket_ids=jnp.asarray(sids or bids or [0] * k_disp,
+                                       jnp.int32),
                 bounds_seq=bseq,
+                scan_candidates=scands,
                 # exact per-position schedule values as DATA (the schedule
                 # never bakes into the program — optim.build_optimizer)
                 lrs=jnp.asarray([schedule(it + i) for i in range(k_disp)],

@@ -11,10 +11,26 @@ from __future__ import annotations
 import copy
 from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .builder import build_backbone
 from ..archspace.meta import unfold_dict
+
+
+def jit_init(model, rngs, *args, method=None):
+    """``model.init`` as ONE jitted program.
+
+    flax's ``Module.init`` executes eagerly — on a relay-attached TPU that
+    is thousands of per-op dispatches (~0.65ms RPC floor each) plus one
+    eager compile per distinct op: measured ~8 min wall for the flagship
+    supernet's init, paid by EVERY process, never persistently cached.
+    Jitted, init is a single compiled forward (persistently cached via
+    utils/jax_cache.py) and one dispatch."""
+    def init_fn(r, *a):
+        return model.init(r, *a, method=method)
+
+    return jax.jit(init_fn)(rngs, *args)
 
 
 def backbone_max_arch(backbone_cfg: Dict[str, Any]) -> Dict[str, Any]:
@@ -199,6 +215,27 @@ def cycle_dispatch(metas, bucketer):
     return tuple(seq), tuple(ids)
 
 
+def scan_dispatch(metas, bucketer):
+    """SCAN-mode dispatch plan for one K-step cycle: ``(candidates, ids)``
+    where ``candidates`` is the bucketer's position-independent branch
+    table (``scan_candidates``) and ``ids[i]`` is position i's cheapest
+    covering branch. Unlike ``cycle_dispatch`` the static part — the
+    candidate tuple — does not depend on the cycle's draw order at all,
+    so ONE compiled program (a ``lax.scan`` over a ``lax.switch`` body,
+    engine/train.py multi_step) serves every cycle, every run, and the
+    bench/warmup/train compile keys coincide by construction.
+    Returns ``(None, None)`` when the bucketer can't bound the space."""
+    if bucketer is None:
+        return None, None
+    cands = getattr(bucketer, "scan_candidates", None)
+    sidx = getattr(bucketer, "scan_index", None)
+    if not cands or sidx is None:
+        return None, None
+    if any(b.body_depth is None for b in cands):
+        return None, None
+    return tuple(cands), tuple(int(sidx(m)) for m in metas)
+
+
 def bounds_arch(max_arch: Dict[str, Any],
                 bounds: Optional[ArchBounds]) -> Dict[str, Any]:
     """Nested arch dict whose shapes are what a BOUNDED program executes
@@ -369,6 +406,7 @@ def make_depth_bucketer(sampler, max_arch: Dict[str, Any],
         walk(getattr(s, "sampler", None))
 
     walk(sampler)
+    anchor_bounds = list(candidates)  # MAX + every anchor's exact triple
     # quantize the dominant stage for random (non-anchor) draws; widths
     # stay MAX (a random cycle's covering widths are near-MAX anyway —
     # max-of-3 uniform draws — so width levels would explode the variant
@@ -417,4 +455,40 @@ def make_depth_bucketer(sampler, max_arch: Dict[str, Any],
                      max_b.stem_width)), len(rand_cands) - 1)
     bucket.rand_candidates = rand_cands
     bucket.rand_index = rand_index
+
+    # SCAN-mode candidate table: every cycle position (anchor or random)
+    # selects its branch at runtime from ONE shared tuple = anchors' exact
+    # bounds + the greedy random set, sorted ascending by executed cost.
+    # Deterministic across processes (config walk + seeded greedy set), so
+    # train / bench / warmup compile the identical program.
+    def scost(b: ArchBounds):
+        w = b.body_width or tuple([1] * len(max_d))
+        return (sum(d * ww * ww for d, ww in zip(b.body_depth, w))
+                + (b.stem_width or 0) ** 2)
+
+    scan_cands = tuple(sorted(
+        set(anchor_bounds) | set(rand_cands),
+        key=lambda b: (scost(b), b.body_depth, b.body_width,
+                       b.stem_width or 0)))
+    _scan_max_idx = next(
+        (i for i, c in enumerate(scan_cands)
+         if c.covers(max_b.body_depth, max_b.body_width, max_b.stem_width)),
+        len(scan_cands) - 1)
+
+    def scan_index(meta) -> int:
+        """Cheapest covering candidate — for an anchor that is its own
+        exact bounds (nothing cheaper can cover it); randoms may land on
+        an anchor's bounds when that is cheaper than any random-set
+        cover (a strict win over the BoundsSwitch path)."""
+        want = exact_bounds(max_arch, meta)
+        d = want.body_depth
+        if d is None or len(d) != len(max_d):
+            return _scan_max_idx
+        for i, c in enumerate(scan_cands):
+            if c.covers(d, want.body_width, want.stem_width):
+                return i
+        return _scan_max_idx
+
+    bucket.scan_candidates = scan_cands
+    bucket.scan_index = scan_index
     return bucket

@@ -404,6 +404,126 @@ def test_switch_cycle_matches_sequential_and_reuses_program(setup):
     assert time.time() - t0 < 5.0
 
 
+def test_scan_cycle_matches_switch_and_reuses_program(setup):
+    """SCAN dispatch (scan_dispatch + lax.scan over a switch body in
+    multi_step, the production default): every position — anchor or
+    random — selects its branch at runtime from ONE shared candidate
+    table, so the compiled program is K× smaller than the unrolled cycle
+    and its static key never depends on the cycle's draw order. Pins:
+    (a) anchors select their EXACT bounds (cheapest cover of an anchor
+    is itself), (b) randoms select a covering branch, (c) the scan cycle
+    lands an order of magnitude closer to the right-branch trajectory
+    than to a wrong-branch one, (d) a later cycle with different draws
+    reuses the program (same static key by construction)."""
+    import time
+
+    from gaiaseg_tpu.engine import create_train_state, make_multi_train_step
+    from gaiaseg_tpu.engine.optim import build_lr_schedule, build_optimizer
+    from gaiaseg_tpu.models.arch_util import (make_depth_bucketer,
+                                              scan_dispatch)
+
+    model, max_arch, variables, img, gt, _ = setup
+    sampler = build_model_sampler(dict(type="concat", model_samplers=[
+        dict(type="anchor", anchors=[
+            {"name": "MIN", "arch.backbone.body.depth": [1, 1, 2, 1],
+             "arch.backbone.body.width": [8, 8, 8, 16],
+             "arch.backbone.stem.width": 8}]),
+        dict(type="repeat", times=2, model_sampler=dict(
+            type="composite", model_samplers=[
+                dict(type="range", key="arch.backbone.body.width",
+                     start=[8, 8, 8, 16], end=[8, 16, 24, 32],
+                     step=[8, 8, 8, 8], ascending=True),
+                dict(type="range", key="arch.backbone.body.depth",
+                     start=[1, 1, 2, 1], end=[2, 3, 5, 2],
+                     step=[1, 1, 1, 1])]))]))
+    bucketer = make_depth_bucketer(sampler, max_arch, rand_k=2)
+
+    k = 2
+    metas = [
+        {"name": "MIN", "arch.backbone.body.depth": [1, 1, 2, 1],
+         "arch.backbone.body.width": [8, 8, 8, 16],
+         "arch.backbone.stem.width": 8},
+        {"arch.backbone.body.depth": [2, 2, 5, 2],
+         "arch.backbone.body.width": [8, 16, 16, 24],
+         "arch.backbone.stem.width": 8},
+    ]
+    scands, sids = scan_dispatch(metas, bucketer)
+    assert scands == bucketer.scan_candidates
+    # (a) the anchor's selected branch IS its exact bounds: covering
+    # implies every dim >=, so nothing cheaper can cover it
+    assert scands[sids[0]] == exact_bounds(max_arch, metas[0])
+    # (b) every position's branch covers its meta
+    for m, i in zip(metas, sids):
+        assert scands[i].covers(m.get("arch.backbone.body.depth"),
+                                m.get("arch.backbone.body.width"),
+                                m.get("arch.backbone.stem.width"))
+    # the random's branch is NOT the first (cheapest) candidate, so a
+    # wrong-branch trajectory is a genuinely different function
+    assert sids[1] > 0
+
+    archs = [encode_arch(max_arch, m) for m in metas]
+    sched = build_lr_schedule(dict(policy="poly", power=0.9), 0.01, 100)
+    tx = build_optimizer(dict(type="SGD", lr=0.01, momentum=0.9),
+                         dict(grad_clip=dict(max_norm=20)), sched)
+    rng = jax.random.PRNGKey(0)
+    imgs = jnp.stack([img] * k)
+    gts = jnp.stack([gt] * k)
+    rngs = jax.random.split(jax.random.PRNGKey(4), k)
+    arch_stack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *archs)
+
+    cycle = make_multi_train_step(model, tx, k)
+
+    def run_static(ids):
+        # identically-shaped UNROLLED cycle with each position's candidate
+        # baked in statically — the discrimination baseline
+        s = create_train_state(model, rng, img, archs[0], tx)
+        s, _ = cycle(s, imgs, gts, arch_stack, rngs,
+                     bounds_seq=tuple(scands[i] for i in ids))
+        return s
+
+    s_right = run_static(sids)
+    wrong = tuple((i + 1) % len(scands) for i in sids)
+    s_wrong = run_static(wrong)
+
+    s_scan = create_train_state(model, rng, img, archs[0], tx)
+    s_scan, logs = cycle(s_scan, imgs, gts, arch_stack, rngs,
+                         bucket_ids=jnp.asarray(sids, jnp.int32),
+                         scan_candidates=scands)
+    assert logs == {}
+    assert int(s_scan.step) == k
+
+    def dist(a, b):
+        return sum(float(np.abs(np.asarray(x) - np.asarray(y)).sum())
+                   for x, y in zip(jax.tree_util.tree_leaves(a),
+                                   jax.tree_util.tree_leaves(b)))
+
+    d_right = dist(s_scan.params, s_right.params)
+    d_wrong = dist(s_scan.params, s_wrong.params)
+    assert d_right * 10 < d_wrong, (d_right, d_wrong)
+
+    # (d) a later cycle with different random draws: the static part of
+    # the dispatch — the candidate table — is IDENTICAL by construction,
+    # so the second dispatch must not recompile
+    metas2 = [sampler.sample() for _ in range(k)]
+    scands2, sids2 = scan_dispatch(metas2, bucketer)
+    assert scands2 == scands
+    t0 = time.time()
+    s_scan, _ = cycle(s_scan, imgs, gts, arch_stack, rngs,
+                      bucket_ids=jnp.asarray(sids2, jnp.int32),
+                      scan_candidates=scands2)
+    jax.block_until_ready(s_scan.params)
+    assert time.time() - t0 < 5.0
+
+    # scan cycle honours per-position lr values (injected-lr state);
+    # multi_step DONATES the state arg, so capture step before the call
+    step_before = int(s_scan.step)
+    lrs = jnp.asarray([0.02, 0.01], jnp.float32)
+    s_lr, _ = cycle(s_scan, imgs, gts, arch_stack, rngs,
+                    bucket_ids=jnp.asarray(sids2, jnp.int32),
+                    scan_candidates=scands2, lrs=lrs)
+    assert int(s_lr.step) == step_before + k
+
+
 def test_bounds_noop_for_backbones_without_support():
     """Backbones that don't declare ``supports_bounds`` must treat bounds
     as a no-op (MAX execution, same numerics) rather than crash — the

@@ -27,6 +27,11 @@ def parse_args():
     p.add_argument("--crop", type=int, default=512)
     p.add_argument("--max-variants", type=int, default=None,
                    help="stop after N cycle variants (default: all)")
+    p.add_argument("--cycle-mode", default="scan",
+                   choices=["scan", "unroll", "both"],
+                   help="which cycle program(s) to warm; must match the "
+                        "run's cycle_mode (default scan, the production "
+                        "default)")
     p.add_argument("--sampler", default=None,
                    help="config file providing train_sampler when the "
                         "model config does not (e.g. "
@@ -52,7 +57,8 @@ def main():
     from gaiaseg_tpu.models import (build_segmentor, encode_arch,
                                     model_max_arch)
     from gaiaseg_tpu.models.arch_util import (cycle_dispatch,
-                                              make_depth_bucketer)
+                                              make_depth_bucketer,
+                                              scan_dispatch)
     from gaiaseg_tpu.utils import Config
 
     cfg = Config.fromfile(args.config)
@@ -100,10 +106,17 @@ def main():
     gts_k = jnp.broadcast_to(gt, (k,) + gt.shape)
     rngs_k = jax.random.split(rng, k)
 
+    def fetch(x):
+        # block_until_ready is a NO-OP on the relay backend: a scalar
+        # device->host copy is the only reliable sync (see verify skill)
+        import numpy as np
+        return np.asarray(jax.tree_util.tree_leaves(x)[0].reshape(-1)[:1])
+
     state = create_train_state(model, rng, img, archs[0], tx)
     full = make_train_step(model, tx, update_stats=True, with_logs=True)
     t0 = time.time()
     state, _ = full(state, img, gt, archs[0], rng)
+    fetch(state.params)
     print(f"full (logging/BN) step: {time.time() - t0:.0f}s", flush=True)
 
     multi = make_multi_train_step(model, tx, k)
@@ -113,15 +126,34 @@ def main():
     # programs serves every schedule/run length — pass the vector to
     # match the production dispatch exactly
     lrs_k = jnp.asarray([schedule(i) for i in range(k)], jnp.float32)
-    for i, bseq in enumerate(variants):
-        t0 = time.time()
-        state, _ = multi(state, imgs_k, gts_k, arch_stack, rngs_k,
-                         bucket_ids=jnp.asarray(ids_of[bseq], jnp.int32),
-                         bounds_seq=bseq, lrs=lrs_k)
-        jax.tree_util.tree_leaves(state.params)[0].block_until_ready()
-        print(f"[{i + 1}/{len(variants)}] cycle variant "
-              f"{[getattr(b, 'body_depth', 'switch') for b in bseq]}: "
-              f"{time.time() - t0:.0f}s", flush=True)
+    if args.cycle_mode in ("scan", "both"):
+        # the production default: ONE lax.scan-over-switch program whose
+        # static key (the bucketer's candidate table) is draw-order
+        # independent — warming it covers EVERY future cycle of this
+        # config/batch/crop
+        scands, sids = scan_dispatch(cycle, bucketer)
+        if scands is None:
+            print("scan dispatch unavailable (unbounded space); skipping",
+                  flush=True)
+        else:
+            t0 = time.time()
+            state, _ = multi(state, imgs_k, gts_k, arch_stack, rngs_k,
+                             bucket_ids=jnp.asarray(sids, jnp.int32),
+                             scan_candidates=scands, lrs=lrs_k)
+            fetch(state.params)
+            print(f"scan cycle program ({len(scands)} branches): "
+                  f"{time.time() - t0:.0f}s", flush=True)
+    if args.cycle_mode in ("unroll", "both"):
+        for i, bseq in enumerate(variants):
+            t0 = time.time()
+            state, _ = multi(state, imgs_k, gts_k, arch_stack, rngs_k,
+                             bucket_ids=jnp.asarray(ids_of[bseq],
+                                                    jnp.int32),
+                             bounds_seq=bseq, lrs=lrs_k)
+            fetch(state.params)
+            print(f"[{i + 1}/{len(variants)}] cycle variant "
+                  f"{[getattr(b, 'body_depth', 'switch') for b in bseq]}: "
+                  f"{time.time() - t0:.0f}s", flush=True)
     print("warmup done; programs persisted in the compilation cache",
           flush=True)
 
