@@ -386,13 +386,19 @@ def _sec_train_k8(R, ctx):
             lrs_k = jnp.asarray([ctx["schedule"](i) for i in range(k)],
                                 jnp.float32)
 
+            # actives all-ones: REQUIRED data in scan mode so this times
+            # the exact production program (the tail-padding cond is in
+            # the compile key — engine/train.py make_multi_train_step)
+            acts_k = None if scands is None \
+                else jnp.ones((k,), jnp.int32)
+
             def step_k8(i, _state=cur):
                 _state[0], _ = multi_step(_state[0], imgs_k, gts_k,
                                           arch_stack, rngs_k,
                                           bucket_ids=bids_k,
                                           bounds_seq=bseq,
                                           scan_candidates=scands,
-                                          lrs=lrs_k)
+                                          lrs=lrs_k, actives=acts_k)
                 return _state[0].step
 
             log("timing train steps (K=8 bounded-cycle dispatch)...")

@@ -142,6 +142,14 @@ def make_multi_train_step(model, tx, k: int):
       executable / ~20min cold compile; the scan body is 10). The
       static key (the candidate tuple) is draw-order-INDEPENDENT:
       bench, warmup and every training cycle share one program.
+      ``actives`` ([k] int32, REQUIRED in this mode) gates each
+      position behind ``lax.cond``: position i with actives[i]==0
+      leaves the state bit-untouched (no step/param/momentum change).
+      The train loop pads a short run TAIL (max_iters - it < k) to a
+      full cycle with inactive positions, so the tail rides this same
+      program — without it, the tail fell into the single-step path
+      and cold-compiled a fresh per-bucket fwd+bwd program (~8 min
+      EACH on the relay; the round-3/4 "e2e hang" class).
     - ``bounds_seq`` tuple of K entries: UNROLLED cycle, silent. An
       ``ArchBounds`` entry executes step i at those STATIC bounds; a
       ``BoundsSwitch`` entry emits ``lax.switch`` over its candidates
@@ -154,44 +162,59 @@ def make_multi_train_step(model, tx, k: int):
                        static_argnames=("bounds_seq", "scan_candidates"))
     def multi_step(state: TrainState, imgs, gts, archs, rngs,
                    bucket_ids=None, bounds_seq=None, lrs=None,
-                   scan_candidates=None):
+                   scan_candidates=None, actives=None):
         # ``lrs``: [k] f32 — the exact per-position schedule values,
         # applied via the injected-lr optimizer state so the schedule
         # never bakes into the program (see optim.build_optimizer). The
         # production loop always passes it; None keeps the state's lr.
         if scan_candidates is not None:
+            if actives is None:
+                # actives must be DATA even in the common all-active case:
+                # materializing ones here would constant-fold the cond and
+                # fork a second (incompatible) compile key from the padded-
+                # tail dispatch — exactly the program duplication this mode
+                # exists to prevent.
+                raise ValueError(
+                    "scan mode requires the actives=[k] int32 mask "
+                    "(all ones for a full cycle)")
+
             def sbody(st, xs):
-                img, gt, arch, rng, bid, lr_i = xs
+                img, gt, arch, rng, bid, lr_i, act = xs
 
-                def grad_at(b):
-                    def loss_fn(params):
-                        (total, _), _ = model.apply(
-                            {"params": params,
-                             "batch_stats": st.batch_stats},
-                            img, gt, arch, False, b,
-                            method=model.forward_train, mutable=[],
-                            rngs={"dropout": rng})
-                        return total
+                def do_step(st):
+                    def grad_at(b):
+                        def loss_fn(params):
+                            (total, _), _ = model.apply(
+                                {"params": params,
+                                 "batch_stats": st.batch_stats},
+                                img, gt, arch, False, b,
+                                method=model.forward_train, mutable=[],
+                                rngs={"dropout": rng})
+                            return total
 
-                    return jax.grad(loss_fn)
+                        return jax.grad(loss_fn)
 
-                if len(scan_candidates) == 1:
-                    grads = grad_at(scan_candidates[0])(st.params)
-                else:
-                    grads = jax.lax.switch(
-                        bid, [grad_at(c) for c in scan_candidates],
-                        st.params)
-                opt_in = st.opt_state if lr_i is None else \
-                    set_learning_rate(st.opt_state, lr_i)
-                updates, opt_state = tx.update(grads, opt_in, st.params)
-                params = optax.apply_updates(st.params, updates)
-                return st.replace(step=st.step + 1, params=params,
-                                  opt_state=opt_state), None
+                    if len(scan_candidates) == 1:
+                        grads = grad_at(scan_candidates[0])(st.params)
+                    else:
+                        grads = jax.lax.switch(
+                            bid, [grad_at(c) for c in scan_candidates],
+                            st.params)
+                    opt_in = st.opt_state if lr_i is None else \
+                        set_learning_rate(st.opt_state, lr_i)
+                    updates, opt_state = tx.update(grads, opt_in,
+                                                   st.params)
+                    params = optax.apply_updates(st.params, updates)
+                    return st.replace(step=st.step + 1, params=params,
+                                      opt_state=opt_state)
+
+                return jax.lax.cond(act > 0, do_step, lambda s: s, st), \
+                    None
 
             state, _ = jax.lax.scan(
                 sbody, state,
                 (imgs, gts, archs, rngs, bucket_ids,
-                 None if lrs is None else lrs))
+                 None if lrs is None else lrs, actives))
             return state, {}
 
         if bounds_seq is not None:
@@ -701,14 +724,30 @@ def train_segmentor(model, cfg, *, work_dir: str,
 
     it = start_step
     logs: Dict[str, Any] = {}
+    # scan availability is a property of the bucketer alone (its candidate
+    # table), not of any cycle's draws — decide once. When available, the
+    # run TAIL (max_iters - it < k) is padded to a full cycle with
+    # INACTIVE positions and rides the same compiled program; without
+    # this, tail iterations fell into the single-step path below and
+    # cold-compiled a per-bucket fwd+bwd program EACH (~8 min on the
+    # relay — the round-3/4 e2e "hang").
+    scan_ok = cycle_mode == "scan" \
+        and scan_dispatch([], bucketer)[0] is not None
     while it < max_iters:
-        if k_disp > 1 and it + k_disp <= max_iters:
+        rem = max_iters - it
+        n_act = min(k_disp, rem)
+        if k_disp > 1 and (rem >= k_disp or scan_ok):
             # K steps per dispatch: fixed RPC/buffer + executable-switch
             # overhead amortized. With a bucketer the cycle is UNROLLED
             # with per-position depth bounds (silent); a full logging/BN
             # step then runs whenever a log boundary is crossed below.
-            batches = [next_aug_batch() for _ in range(k_disp)]
-            triples = [next_arch(with_meta=True) for _ in range(k_disp)]
+            batches = [next_aug_batch() for _ in range(n_act)]
+            triples = [next_arch(with_meta=True) for _ in range(n_act)]
+            # pad a short tail to the program's static K by repeating the
+            # last entry; padded positions are gated off by ``actives``
+            pad = k_disp - n_act
+            batches += batches[-1:] * pad
+            triples += triples[-1:] * pad
             archs = [a for a, _, _ in triples]
             # SCAN mode (default): one lax.scan program whose switch
             # branch table (the static key) never changes across cycles;
@@ -735,16 +774,21 @@ def train_segmentor(model, cfg, *, work_dir: str,
                 bounds_seq=bseq,
                 scan_candidates=scands,
                 # exact per-position schedule values as DATA (the schedule
-                # never bakes into the program — optim.build_optimizer)
-                lrs=jnp.asarray([schedule(it + i) for i in range(k_disp)],
-                                jnp.float32))
+                # never bakes into the program — optim.build_optimizer);
+                # padded positions repeat the last active value (inactive,
+                # never applied — some host schedules reject > max_iters)
+                lrs=jnp.asarray(
+                    [schedule(it + min(i, n_act - 1))
+                     for i in range(k_disp)], jnp.float32),
+                actives=None if scands is None else jnp.asarray(
+                    [1] * n_act + [0] * pad, jnp.int32))
             if logs_k:
                 logs = {k: v[-1] for k, v in logs_k.items()}
                 loss_acc += float(jnp.mean(logs_k["decode.loss_seg"]))
                 n_acc += 1
-            step_inc = k_disp
-            if (it + k_disp) % log_interval < k_disp \
-                    and it + k_disp < max_iters:
+            step_inc = n_act
+            if (it + n_act) % log_interval < n_act \
+                    and it + n_act < max_iters:
                 # (the second clause keeps the cycle from overshooting
                 # max_iters by one — the final checkpoint must fire at
                 # exactly it == max_iters)

@@ -485,10 +485,11 @@ def test_scan_cycle_matches_switch_and_reuses_program(setup):
     wrong = tuple((i + 1) % len(scands) for i in sids)
     s_wrong = run_static(wrong)
 
+    ones_k = jnp.ones((k,), jnp.int32)
     s_scan = create_train_state(model, rng, img, archs[0], tx)
     s_scan, logs = cycle(s_scan, imgs, gts, arch_stack, rngs,
                          bucket_ids=jnp.asarray(sids, jnp.int32),
-                         scan_candidates=scands)
+                         scan_candidates=scands, actives=ones_k)
     assert logs == {}
     assert int(s_scan.step) == k
 
@@ -510,7 +511,7 @@ def test_scan_cycle_matches_switch_and_reuses_program(setup):
     t0 = time.time()
     s_scan, _ = cycle(s_scan, imgs, gts, arch_stack, rngs,
                       bucket_ids=jnp.asarray(sids2, jnp.int32),
-                      scan_candidates=scands2)
+                      scan_candidates=scands2, actives=ones_k)
     jax.block_until_ready(s_scan.params)
     assert time.time() - t0 < 5.0
 
@@ -520,8 +521,37 @@ def test_scan_cycle_matches_switch_and_reuses_program(setup):
     lrs = jnp.asarray([0.02, 0.01], jnp.float32)
     s_lr, _ = cycle(s_scan, imgs, gts, arch_stack, rngs,
                     bucket_ids=jnp.asarray(sids2, jnp.int32),
-                    scan_candidates=scands2, lrs=lrs)
+                    scan_candidates=scands2, lrs=lrs, actives=ones_k)
     assert int(s_lr.step) == step_before + k
+
+    # (e) TAIL padding: a cycle with the last position INACTIVE must
+    # leave the state bit-identical to running only the active prefix —
+    # the train loop pads short run tails (max_iters - it < k) through
+    # this same program instead of compiling single-step variants.
+    s_a = create_train_state(model, rng, img, archs[0], tx)
+    s_a, _ = cycle(s_a, imgs, gts, arch_stack, rngs,
+                   bucket_ids=jnp.asarray(sids2, jnp.int32),
+                   scan_candidates=scands2, lrs=lrs,
+                   actives=jnp.asarray([1] + [0] * (k - 1), jnp.int32))
+    s_b = create_train_state(model, rng, img, archs[0], tx)
+    one = make_multi_train_step(model, tx, 1)
+    s_b, _ = one(s_b, imgs[:1], gts[:1],
+                 jax.tree_util.tree_map(lambda x: x[:1], arch_stack),
+                 rngs[:1], bucket_ids=jnp.asarray(sids2[:1], jnp.int32),
+                 scan_candidates=scands2, lrs=lrs[:1],
+                 actives=jnp.ones((1,), jnp.int32))
+    assert int(s_a.step) == int(s_b.step) == 1
+    for xa, xb in zip(jax.tree_util.tree_leaves(s_a.params),
+                      jax.tree_util.tree_leaves(s_b.params)):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+    # scan mode REFUSES a missing actives mask (a constant-folded ones
+    # would fork a second compile key — the padding exists to avoid that)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="actives"):
+        cycle(s_lr, imgs, gts, arch_stack, rngs,
+              bucket_ids=jnp.asarray(sids2, jnp.int32),
+              scan_candidates=scands2)
 
 
 def test_bounds_noop_for_backbones_without_support():

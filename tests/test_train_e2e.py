@@ -142,3 +142,24 @@ def test_train_bounded_cycle_dispatch(tmp_path):
     # cycle emits no losses), so monotonicity is not asserted — learning is
     # proven by test_overfit_synthetic_miou_above_chance; this test pins the
     # cycle-dispatch integration (state advances, losses finite, logs flow)
+
+
+def test_train_cycle_tail_reaches_max_iters_exactly(tmp_path):
+    """A run whose max_iters is NOT aligned with the dispatch cadence
+    (boundary full steps shift the cycle phase by +1) must finish at
+    EXACTLY max_iters via the scan cycle program's padded-inactive tail —
+    the old fallback ran the tail as single steps, each cold-compiling a
+    fresh per-bucket fwd+bwd program (the round-3/4 on-chip e2e 'hang')."""
+    cfg = Config.fromfile(CFG)
+    cfg["steps_per_dispatch"] = 4
+    cfg["evaluation"] = dict(interval=1000)
+    cfg["checkpoint_config"] = dict(interval=1000)
+    cfg["log_config"] = dict(interval=8)
+    model = build_segmentor(cfg["model"],
+                            test_cfg=cfg["model"].get("test_cfg"))
+    # cadence: it=0 cycle->4; it=4 cycle + boundary full step->9;
+    # it=9: rem=2 < k=4 -> padded tail (2 active + 2 inactive) -> 11
+    state, history = train_segmentor(model, cfg, work_dir=str(tmp_path),
+                                     seed=0, max_iters=11)
+    assert int(state.step) == 11
+    assert history["loss"] and history["loss"][-1]["iter"] <= 11

@@ -112,11 +112,14 @@ def main():
     lrs_k = jnp.asarray([schedule(i) for i in range(k)], jnp.float32)
     bids_k = jnp.asarray(bids or [0] * k, jnp.int32)
 
+    acts_k = None if scands is None else jnp.ones((k,), jnp.int32)
+
     def step():
         nonlocal state
         state, _ = multi(state, imgs_k, gts_k, arch_stack, rngs_k,
                          bucket_ids=bids_k, bounds_seq=bseq,
-                         scan_candidates=scands, lrs=lrs_k)
+                         scan_candidates=scands, lrs=lrs_k,
+                         actives=acts_k)
         return state.step
 
     t0 = time.perf_counter()

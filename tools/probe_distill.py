@@ -81,7 +81,7 @@ def time_cycle(model_cfg, label, args, freeze=False):
         nonlocal state
         state, _ = multi(state, imgs_k, gts_k, arch_stack, rngs_k,
                          bucket_ids=bids_k, scan_candidates=scands,
-                         lrs=lrs_k)
+                         lrs=lrs_k, actives=jnp.ones((k,), jnp.int32))
         return state.step
 
     t0 = time.perf_counter()

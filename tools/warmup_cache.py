@@ -139,7 +139,8 @@ def main():
             t0 = time.time()
             state, _ = multi(state, imgs_k, gts_k, arch_stack, rngs_k,
                              bucket_ids=jnp.asarray(sids, jnp.int32),
-                             scan_candidates=scands, lrs=lrs_k)
+                             scan_candidates=scands, lrs=lrs_k,
+                             actives=jnp.ones((k,), jnp.int32))
             fetch(state.params)
             print(f"scan cycle program ({len(scands)} branches): "
                   f"{time.time() - t0:.0f}s", flush=True)
