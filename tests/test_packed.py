@@ -82,3 +82,31 @@ def test_augment_u8_labels_match_i32():
     np.testing.assert_array_equal(np.asarray(a["gt"]), np.asarray(b["gt"]))
     np.testing.assert_array_equal(np.asarray(a["img"], np.float32),
                                   np.asarray(b["img"], np.float32))
+
+
+def test_packed_dataset_registered_from_package_import(tmp_path):
+    """PackedDataset must be buildable through the dataset registry after a
+    plain ``import gaiaseg_tpu.data`` — the CLI path (tools/train_supernet.py
+    with a PackedDataset config, e.g. scripts/soak_test.sh) never imports
+    data.packed explicitly. Run in a fresh interpreter so registration can't
+    be satisfied by this test module's own imports."""
+    import subprocess
+    import sys
+
+    from gaiaseg_tpu.data.datasets import SyntheticDataset
+    from gaiaseg_tpu.data.packed import pack_dataset
+
+    path = str(tmp_path / "tiny.gsegpack")
+    pack_dataset(SyntheticDataset(length=2, size=(16, 16), num_classes=4,
+                                  cells=2), path)
+    code = (
+        "from gaiaseg_tpu.data import build_dataset\n"
+        f"ds = build_dataset(dict(type='PackedDataset', path={path!r},\n"
+        "                        classes=['a', 'b', 'c', 'd']))\n"
+        "assert len(ds) == 2\n"
+        "print('registry ok')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "registry ok" in out.stdout
