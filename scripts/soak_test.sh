@@ -30,10 +30,12 @@ python tools/train_supernet.py "$CFG" --work-dir "$WORK" \
   > "$WORK/phase1.log" 2>&1 &
 PID=$!
 (
-  # kill right after iter_512.ckpt appears (mid-run by construction);
-  # KILL_AFTER is the fallback if the run stalls before checkpointing
+  # kill right after the FIRST periodic checkpoint appears (mid-run by
+  # construction; checkpoints land on cycle boundaries, e.g. iter_520,
+  # never exactly iter_512). KILL_AFTER is the fallback if the run
+  # stalls before checkpointing.
   for _ in $(seq "$KILL_AFTER"); do
-    [ -f "$WORK/iter_512.ckpt" ] && break
+    ls "$WORK"/iter_*.ckpt >/dev/null 2>&1 && break
     kill -0 "$PID" 2>/dev/null || exit 0
     sleep 1
   done
