@@ -578,7 +578,14 @@ def _sec_population(R, ctx, runner):
 
 def _e2e_cfg(ctx, pack_path, cached: bool):
     k = ctx["k"]
-    iters = 8 * k if not _SMOKE else 2 * k
+    # 32 cycles: with log windows of 2k iters that is 16 windows, so the
+    # interior-window median is taken over >=11 windows untouched by the
+    # one-time relay executable loads (~1-10 min per ~100MB program,
+    # warm or cold — docs/PERF.md "relay cache-load reality"). At the
+    # old 8 cycles the loads polluted BOTH interior windows and the
+    # "steady state" read ~24 img/s when the true figure is ~5x that;
+    # the added compute is ~15-20s against the fixed load cost.
+    iters = 32 * k if not _SMOKE else 2 * k
     train = {"type": "PackedDataset", "path": pack_path,
              "classes": [f"c{i}" for i in range(19)],
              # full production augment chain — crop-trial histograms and
