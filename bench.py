@@ -615,6 +615,13 @@ def _e2e_cfg(ctx, pack_path, cached: bool):
         "runner": dict(max_iters=iters),
         "steps_per_dispatch": k,
         "log_config": dict(interval=2 * k),
+        # BN running stats are consumed only by eval/ckpt — both disabled
+        # here — so the loop never needs the full-variant refresh step:
+        # the hot loop stays inside ONE compiled program (loss logging
+        # reads the scan cycle's own stacked outputs). On the relay the
+        # 56MB boundary-step executable alternating with the scan program
+        # cost the cached e2e ~25% of its throughput.
+        "bn_refresh_interval": 10 ** 9,
         "checkpoint_config": dict(interval=10 ** 9),
         "evaluation": dict(interval=10 ** 9),
     }

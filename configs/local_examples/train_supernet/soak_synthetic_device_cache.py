@@ -50,3 +50,8 @@ checkpoint_config = dict(by_epoch=False, interval=500)
 evaluation = dict(interval=500, metric='mIoU')
 log_config = dict(interval=48, hooks=[dict(type='TextLoggerHook')])
 steps_per_dispatch = 8
+# BN running stats feed only the eval hook: refresh them the window
+# BEFORE each eval instead of at every log boundary (loss lines read the
+# scan cycle's own stacked outputs) — keeps the hot loop inside ONE
+# compiled program between evals.
+bn_refresh_interval = 496

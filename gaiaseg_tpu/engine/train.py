@@ -182,23 +182,32 @@ def make_multi_train_step(model, tx, k: int):
                 img, gt, arch, rng, bid, lr_i, act = xs
 
                 def do_step(st):
-                    def grad_at(b):
+                    # value_and_grad instead of grad: the primal (and its
+                    # component-loss aux dict — a handful of f32 scalars)
+                    # is computed by the backward pass anyway, and
+                    # returning it lets the host log losses straight from
+                    # the scan outputs instead of dispatching a separate
+                    # full-step program every log window (that 56MB
+                    # program alternating with this one cost the cached
+                    # e2e loop ~25% of its throughput on the relay).
+                    def vgrad_at(b):
                         def loss_fn(params):
-                            (total, _), _ = model.apply(
+                            (total, logs), _ = model.apply(
                                 {"params": params,
                                  "batch_stats": st.batch_stats},
                                 img, gt, arch, False, b,
                                 method=model.forward_train, mutable=[],
                                 rngs={"dropout": rng})
-                            return total
+                            return total, dict(logs)
 
-                        return jax.grad(loss_fn)
+                        return jax.value_and_grad(loss_fn, has_aux=True)
 
                     if len(scan_candidates) == 1:
-                        grads = grad_at(scan_candidates[0])(st.params)
+                        (_, logs), grads = vgrad_at(
+                            scan_candidates[0])(st.params)
                     else:
-                        grads = jax.lax.switch(
-                            bid, [grad_at(c) for c in scan_candidates],
+                        (_, logs), grads = jax.lax.switch(
+                            bid, [vgrad_at(c) for c in scan_candidates],
                             st.params)
                     opt_in = st.opt_state if lr_i is None else \
                         set_learning_rate(st.opt_state, lr_i)
@@ -206,16 +215,21 @@ def make_multi_train_step(model, tx, k: int):
                                                    st.params)
                     params = optax.apply_updates(st.params, updates)
                     return st.replace(step=st.step + 1, params=params,
-                                      opt_state=opt_state)
+                                      opt_state=opt_state), logs
 
-                return jax.lax.cond(act > 0, do_step, lambda s: s, st), \
-                    None
+                # inactive (tail-padded) positions skip the step and emit
+                # a zeroed log dict; eval_shape is trace-time only
+                log_sd = jax.eval_shape(lambda s: do_step(s)[1], st)
+                zero_logs = jax.tree_util.tree_map(
+                    lambda a: jnp.zeros(a.shape, a.dtype), log_sd)
+                return jax.lax.cond(act > 0, do_step,
+                                    lambda s: (s, zero_logs), st)
 
-            state, _ = jax.lax.scan(
+            state, logs_k = jax.lax.scan(
                 sbody, state,
                 (imgs, gts, archs, rngs, bucket_ids,
                  None if lrs is None else lrs, actives))
-            return state, {}
+            return state, logs_k  # leaves stacked [k]; padded rows zero
 
         if bounds_seq is not None:
             st = state
@@ -523,6 +537,12 @@ def train_segmentor(model, cfg, *, work_dir: str,
     if k_disp > 1:
         multi_step = make_multi_train_step(model, tx, k_disp)
     log_interval = int((cfg.get("log_config") or {}).get("interval", 50))
+    # cadence of the BN-refresh full step (a separate full-variant program
+    # the scan cycle otherwise never needs). Defaults to the log interval
+    # (historical behavior); runs whose running stats are consumed only at
+    # eval/ckpt (which calibrate_bn anyway) set it high to keep the hot
+    # loop inside ONE compiled program.
+    bn_interval = int(cfg.get("bn_refresh_interval") or log_interval)
     train_step = make_train_step(model, tx, update_stats=True,
                                  with_logs=True)
     train_step_fast = make_train_step(model, tx, update_stats=False,
@@ -638,6 +658,7 @@ def train_segmentor(model, cfg, *, work_dir: str,
     data_iter = iter(loader)
     t_last = time.time()
     loss_acc, n_acc, last_loss = 0.0, 0, float("nan")
+    pend_logs, pend_n = None, 0  # device-side cycle logs awaiting the log boundary
 
     # Device-side batch prefetch: upload + augment dispatch + shard run in
     # a background thread so host->device transfer (the relay link moves
@@ -783,17 +804,29 @@ def train_segmentor(model, cfg, *, work_dir: str,
                 actives=None if scands is None else jnp.asarray(
                     [1] * n_act + [0] * pad, jnp.int32))
             if logs_k:
-                logs = {k: v[-1] for k, v in logs_k.items()}
-                loss_acc += float(jnp.mean(logs_k["decode.loss_seg"]))
-                n_acc += 1
+                # stacked [k] device scalars from the cycle program
+                # (padded tail rows are zero). No host fetch and no
+                # device op here — a float()/mean() would sync the host
+                # to every cycle dispatch (~30ms RPC each on the relay);
+                # stash the arrays and reduce+fetch ONCE at the log
+                # boundary below.
+                pend_logs, pend_n = logs_k, n_act
             step_inc = n_act
-            if (it + n_act) % log_interval < n_act \
+            if (it + n_act) % bn_interval < n_act \
                     and it + n_act < max_iters:
                 # (the second clause keeps the cycle from overshooting
                 # max_iters by one — the final checkpoint must fire at
                 # exactly it == max_iters)
-                # crossing a log boundary: one full step refreshes BN
-                # running stats and yields the loss for the log line.
+                # crossing a BN-refresh boundary: one full step refreshes
+                # BN running stats (the scan cycle runs with frozen
+                # running stats; batch-statistics normalization — and so
+                # the loss — is identical either way, running stats only
+                # feed eval/ckpt). Default cadence is the log interval
+                # (historical behavior); configs whose stats are consumed
+                # only at eval/ckpt (which calibrate anyway) can raise
+                # ``bn_refresh_interval`` and skip this program entirely —
+                # on the relay the 56MB full-step executable alternating
+                # with the scan program cost the cached e2e loop ~25%.
                 # Reuses the cycle's LAST arch instead of drawing a new
                 # one — an extra draw would rotate the sandwich-cycle
                 # phase and every rotation is a fresh bounds_seq compile
@@ -833,23 +866,40 @@ def train_segmentor(model, cfg, *, work_dir: str,
             dt = time.time() - t_last
             ips = log_interval * global_batch / max(dt, 1e-9)
             lr_now = float(schedule(it))
+            comp: Dict[str, float] = {}
+            if pend_logs is not None:
+                # ONE device reduce + ONE host fetch for the whole log
+                # line: mean loss over the last cycle's active positions
+                # plus every component loss of its final active step.
+                names = [k for k in pend_logs
+                         if "loss" in k and k != "loss"]
+                stacked = jnp.stack(
+                    [jnp.mean(pend_logs["decode.loss_seg"][:pend_n])]
+                    + [pend_logs[k][pend_n - 1] for k in names])
+                vals = np.asarray(stacked)
+                comp = dict(zip(names, map(float, vals[1:])))
+                loss_acc += float(vals[0])
+                n_acc += 1
+                pend_logs = None
+            elif logs:
+                comp = {k: float(v) for k, v in logs.items()
+                        if "loss" in k and k != "loss"}
             if n_acc:
                 last_loss = loss_acc / n_acc
-            # n_acc == 0 happens only in the run's FINAL window, where the
-            # boundary full step is skipped to keep `it` from overshooting
-            # max_iters (the unrolled cycle is silent): carry the previous
-            # window's loss instead of recording a bogus 0.0.
+            # n_acc == 0 happens in the run's FINAL window (the boundary
+            # full step is skipped to keep `it` from overshooting
+            # max_iters) when no cycle logs are pending: carry the
+            # previous window's loss instead of recording a bogus 0.0.
             logger.info(
                 "iter %d/%d loss=%.4f lr=%.2e %.1f img/s",
                 it, max_iters, last_loss, lr_now, ips)
             history["loss"].append(
                 {"iter": it, "loss": last_loss,
                  "img_per_sec": ips,
-                 # component losses from the latest full step (e.g. the
-                 # distiller's distill_loss_seg / pairwise_loss_seg) so
-                 # history.json suffices to audit a run's loss breakdown
-                 **{k: float(v) for k, v in logs.items()
-                    if "loss" in k and k != "loss"}})
+                 # component losses (e.g. the distiller's distill_loss_seg
+                 # / pairwise_loss_seg) so history.json suffices to audit
+                 # a run's loss breakdown
+                 **comp})
             loss_acc, n_acc = 0.0, 0
             t_last = time.time()
         if progress_cb:

@@ -490,7 +490,12 @@ def test_scan_cycle_matches_switch_and_reuses_program(setup):
     s_scan, logs = cycle(s_scan, imgs, gts, arch_stack, rngs,
                          bucket_ids=jnp.asarray(sids, jnp.int32),
                          scan_candidates=scands, actives=ones_k)
-    assert logs == {}
+    # scan mode returns the per-position component losses stacked [k]
+    # (the train loop logs from these instead of dispatching a separate
+    # full-step program every log window)
+    assert "decode.loss_seg" in logs
+    assert all(np.asarray(v).shape == (k,) for v in logs.values())
+    assert np.all(np.asarray(logs["decode.loss_seg"]) > 0)
     assert int(s_scan.step) == k
 
     def dist(a, b):
@@ -529,10 +534,12 @@ def test_scan_cycle_matches_switch_and_reuses_program(setup):
     # the train loop pads short run tails (max_iters - it < k) through
     # this same program instead of compiling single-step variants.
     s_a = create_train_state(model, rng, img, archs[0], tx)
-    s_a, _ = cycle(s_a, imgs, gts, arch_stack, rngs,
-                   bucket_ids=jnp.asarray(sids2, jnp.int32),
-                   scan_candidates=scands2, lrs=lrs,
-                   actives=jnp.asarray([1] + [0] * (k - 1), jnp.int32))
+    s_a, logs_a = cycle(s_a, imgs, gts, arch_stack, rngs,
+                        bucket_ids=jnp.asarray(sids2, jnp.int32),
+                        scan_candidates=scands2, lrs=lrs,
+                        actives=jnp.asarray([1] + [0] * (k - 1), jnp.int32))
+    la = np.asarray(logs_a["decode.loss_seg"])
+    assert la[0] > 0 and np.all(la[1:] == 0)  # padded rows log zero
     s_b = create_train_state(model, rng, img, archs[0], tx)
     one = make_multi_train_step(model, tx, 1)
     s_b, _ = one(s_b, imgs[:1], gts[:1],
