@@ -412,6 +412,22 @@ def resolve_epoch_schedule(cfg, n_samples: int, global_batch: int):
     return int(epochs) * ipe, lrc
 
 
+def _sync_window_clock(sync_fn, _time=time.time):
+    """Device-sync FIRST, then read the wall clock.
+
+    The log-window throughput is sync-to-sync wall time: ``sync_fn`` must
+    block until every step enqueued in the window has executed (on the
+    axon relay that means a device->host fetch — ``block_until_ready`` is
+    a no-op there) BEFORE the timestamp is taken. Reading the clock before
+    the fetch measures host *dispatch* rate: the r4 driver bench logged a
+    physically impossible 774 img/s against a 204 img/s ceiling that way.
+    Returns (sync_fn(), timestamp). tests/test_train_e2e.py pins the
+    call order.
+    """
+    out = sync_fn()
+    return out, _time()
+
+
 def train_segmentor(model, cfg, *, work_dir: str,
                     train_dataset=None, val_dataset=None,
                     train_sampler: Optional[BaseSampler] = None,
@@ -422,7 +438,8 @@ def train_segmentor(model, cfg, *, work_dir: str,
                     state: Optional[TrainState] = None,
                     resume_from: Optional[str] = None,
                     load_from: Optional[str] = None,
-                    progress_cb=None) -> Tuple[TrainState, Dict[str, Any]]:
+                    progress_cb=None,
+                    window_cb=None) -> Tuple[TrainState, Dict[str, Any]]:
     """Run supernet training per config. Returns (final_state, history)."""
     os.makedirs(work_dir, exist_ok=True)
     # model_parallel=K (TPU extension): data x model mesh; params are
@@ -538,11 +555,25 @@ def train_segmentor(model, cfg, *, work_dir: str,
         multi_step = make_multi_train_step(model, tx, k_disp)
     log_interval = int((cfg.get("log_config") or {}).get("interval", 50))
     # cadence of the BN-refresh full step (a separate full-variant program
-    # the scan cycle otherwise never needs). Defaults to the log interval
-    # (historical behavior); runs whose running stats are consumed only at
-    # eval/ckpt (which calibrate_bn anyway) set it high to keep the hot
-    # loop inside ONE compiled program.
+    # the scan cycle otherwise never needs). Defaults to the log interval;
+    # raising it keeps the hot loop inside ONE compiled program, but then
+    # the running stats are near-initial between refreshes — so eval and
+    # checkpoint auto-calibrate below unless calibrate_bn is explicitly 0.
     bn_interval = int(cfg.get("bn_refresh_interval") or log_interval)
+    ckpt_cfg = dict(cfg.get("checkpoint_config") or {})
+    eval_cfg = dict(cfg.get("evaluation") or {})
+    bn_stale = bn_interval > log_interval
+    _ck, _ev = ckpt_cfg.get("calibrate_bn"), eval_cfg.get("calibrate_bn")
+    ckpt_calib_n = int(_ck) if _ck is not None else (8 if bn_stale else 0)
+    eval_calib_n = int(_ev) if _ev is not None else (8 if bn_stale else 0)
+    if bn_stale and (_ck is None or _ev is None):
+        logger.warning(
+            "bn_refresh_interval=%d > log_interval=%d: BN running stats "
+            "stay near-initial between refreshes, so checkpoints and "
+            "cross-arch eval auto-calibrate (%d batches at the MAX "
+            "anchor). Set checkpoint_config.calibrate_bn / "
+            "evaluation.calibrate_bn explicitly (0 disables).",
+            bn_interval, log_interval, ckpt_calib_n or eval_calib_n)
     train_step = make_train_step(model, tx, update_stats=True,
                                  with_logs=True)
     train_step_fast = make_train_step(model, tx, update_stats=False,
@@ -574,9 +605,8 @@ def train_segmentor(model, cfg, *, work_dir: str,
         tw, th = pipe.img_scale  # mmcv (w, h)
         base_scale = min(max(th, tw) / max(h, w), min(th, tw) / min(h, w))
 
-    ckpt_interval = int((cfg.get("checkpoint_config") or {})
-                        .get("interval", 8000))
-    eval_interval = int((cfg.get("evaluation") or {}).get("interval", 8000))
+    ckpt_interval = int(ckpt_cfg.get("interval", 8000))
+    eval_interval = int(eval_cfg.get("interval", 8000))
 
     # two-phase workflow [('train',N),('val',M)] (reference apis/train.py:186
     # + tools/train_supernet.py:192-196): every N train iters, M val-loss
@@ -658,7 +688,10 @@ def train_segmentor(model, cfg, *, work_dir: str,
     data_iter = iter(loader)
     t_last = time.time()
     loss_acc, n_acc, last_loss = 0.0, 0, float("nan")
-    pend_logs, pend_n = None, 0  # device-side cycle logs awaiting the log boundary
+    # device-side (logs, n_active) per cycle awaiting the log boundary:
+    # EVERY cycle of the window is kept (k scalars each) so the window
+    # loss is the mean over all its steps, not just the last cycle's
+    pend_cycles = []
 
     # Device-side batch prefetch: upload + augment dispatch + shard run in
     # a background thread so host->device transfer (the relay link moves
@@ -810,7 +843,7 @@ def train_segmentor(model, cfg, *, work_dir: str,
                 # to every cycle dispatch (~30ms RPC each on the relay);
                 # stash the arrays and reduce+fetch ONCE at the log
                 # boundary below.
-                pend_logs, pend_n = logs_k, n_act
+                pend_cycles.append((logs_k, n_act))
             step_inc = n_act
             if (it + n_act) % bn_interval < n_act \
                     and it + n_act < max_iters:
@@ -863,27 +896,42 @@ def train_segmentor(model, cfg, *, work_dir: str,
         if val_loss_step is not None and it % wf_train < step_inc:
             run_val_phase(state, it)
         if it % log_interval < step_inc:
-            dt = time.time() - t_last
+            comp: Dict[str, float] = {}
+            if pend_cycles:
+                # ONE device reduce + ONE host fetch for the whole log
+                # line: mean loss over EVERY cycle's active positions in
+                # this window, plus every component loss of the last
+                # cycle's final active step. The fetch doubles as the
+                # window's device sync (stream ordering covers all
+                # enqueued steps).
+                last_logs, last_n = pend_cycles[-1]
+                names = [k for k in last_logs
+                         if "loss" in k and k != "loss"]
+                parts = [jnp.concatenate(
+                    [c["decode.loss_seg"][:n] for c, n in pend_cycles])]
+                head = sum(n for _, n in pend_cycles)
+                if names:
+                    parts.append(jnp.stack(
+                        [last_logs[k][last_n - 1] for k in names]))
+                vals, t_now = _sync_window_clock(
+                    lambda: np.asarray(jnp.concatenate(parts)))
+                comp = dict(zip(names, map(float, vals[head:])))
+                loss_acc += float(vals[:head].mean())
+                n_acc += 1
+                pend_cycles = []
+            else:
+                # no pending device logs: still force an explicit device
+                # sync (fetch one scalar) BEFORE reading the clock, so
+                # the window time includes device execution, never just
+                # host dispatch
+                _, t_now = _sync_window_clock(
+                    lambda: np.asarray(state.step))
+                if logs:
+                    comp = {k: float(v) for k, v in logs.items()
+                            if "loss" in k and k != "loss"}
+            dt = t_now - t_last
             ips = log_interval * global_batch / max(dt, 1e-9)
             lr_now = float(schedule(it))
-            comp: Dict[str, float] = {}
-            if pend_logs is not None:
-                # ONE device reduce + ONE host fetch for the whole log
-                # line: mean loss over the last cycle's active positions
-                # plus every component loss of its final active step.
-                names = [k for k in pend_logs
-                         if "loss" in k and k != "loss"]
-                stacked = jnp.stack(
-                    [jnp.mean(pend_logs["decode.loss_seg"][:pend_n])]
-                    + [pend_logs[k][pend_n - 1] for k in names])
-                vals = np.asarray(stacked)
-                comp = dict(zip(names, map(float, vals[1:])))
-                loss_acc += float(vals[0])
-                n_acc += 1
-                pend_logs = None
-            elif logs:
-                comp = {k: float(v) for k, v in logs.items()
-                        if "loss" in k and k != "loss"}
             if n_acc:
                 last_loss = loss_acc / n_acc
             # n_acc == 0 happens in the run's FINAL window (the boundary
@@ -893,21 +941,25 @@ def train_segmentor(model, cfg, *, work_dir: str,
             logger.info(
                 "iter %d/%d loss=%.4f lr=%.2e %.1f img/s",
                 it, max_iters, last_loss, lr_now, ips)
-            history["loss"].append(
-                {"iter": it, "loss": last_loss,
-                 "img_per_sec": ips,
-                 # component losses (e.g. the distiller's distill_loss_seg
-                 # / pairwise_loss_seg) so history.json suffices to audit
-                 # a run's loss breakdown
-                 **comp})
+            row = {"iter": it, "loss": last_loss,
+                   "img_per_sec": ips,
+                   # component losses (e.g. the distiller's
+                   # distill_loss_seg / pairwise_loss_seg) so history.json
+                   # suffices to audit a run's loss breakdown
+                   **comp}
+            history["loss"].append(row)
+            if window_cb:
+                window_cb(row)
             loss_acc, n_acc = 0.0, 0
-            t_last = time.time()
+            # sync-to-sync windows: the next window starts at THIS sync
+            # point; host-side logging time after it charges to the next
+            # window (it delays the next dispatches)
+            t_last = t_now
         if progress_cb:
             progress_cb(it - 1, logs)
 
         if it % ckpt_interval < step_inc or it == max_iters:
-            calib_n = int((cfg.get("checkpoint_config") or {})
-                          .get("calibrate_bn", 0))
+            calib_n = ckpt_calib_n
             if calib_n and train_dataset is not None:
                 # re-estimate BN running stats at the MAX anchor before
                 # saving: silent fast steps never update stats, so
@@ -937,6 +989,16 @@ def train_segmentor(model, cfg, *, work_dir: str,
                 it % eval_interval < step_inc:
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
+            if eval_calib_n and train_dataset is not None:
+                # cross_arch_evaluate consumes running stats directly;
+                # when bn_refresh_interval starves the in-loop refresh,
+                # re-estimate them here (eval-only — train state keeps
+                # its own stats)
+                from .calibrate import calibrate_bn
+                variables = calibrate_bn(
+                    model, variables, train_dataset,
+                    encode_arch(max_arch), num_batches=eval_calib_n,
+                    batch_size=samples_per_gpu, test_params=test_pipe)
             res = cross_arch_evaluate(model, variables, val_sampler,
                                       val_dataset, max_arch,
                                       test_params=test_pipe)

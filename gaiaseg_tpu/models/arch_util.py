@@ -420,7 +420,12 @@ def make_depth_bucketer(sampler, max_arch: Dict[str, Any],
         candidates.append(max_b._replace(body_depth=t))
 
     def cost(b: ArchBounds) -> int:
-        w = b.body_width or tuple([1] * len(max_d))
+        # None width/stem means "covers every width" (ArchBounds.covers),
+        # so it must COST max width too — costing it 1 would sort an
+        # unbounded candidate near-cheapest and route every position
+        # through its MAX-width branch, silently forfeiting
+        # width-proportional compute
+        w = b.body_width or max_b.body_width or tuple([1] * len(max_d))
         return sum(d * ww * ww for d, ww in zip(b.body_depth, w))
 
     uniq = sorted(set(candidates), key=lambda b: (cost(b), b))
@@ -462,9 +467,11 @@ def make_depth_bucketer(sampler, max_arch: Dict[str, Any],
     # Deterministic across processes (config walk + seeded greedy set), so
     # train / bench / warmup compile the identical program.
     def scost(b: ArchBounds):
-        w = b.body_width or tuple([1] * len(max_d))
+        # None fields cover everything (see cost() above): price them at
+        # MAX so the ascending sort never prefers an unbounded candidate
+        w = b.body_width or max_b.body_width or tuple([1] * len(max_d))
         return (sum(d * ww * ww for d, ww in zip(b.body_depth, w))
-                + (b.stem_width or 0) ** 2)
+                + (b.stem_width or max_b.stem_width or 0) ** 2)
 
     scan_cands = tuple(sorted(
         set(anchor_bounds) | set(rand_cands),

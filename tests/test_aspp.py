@@ -4,6 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaiaseg_tpu.models import build_segmentor, encode_arch, model_max_arch
+import pytest
 
 F32 = jnp.float32
 BB = dict(type="DynamicResNet", stem_width=8, body_width=[8, 8, 16, 16],
@@ -24,6 +25,7 @@ def _run(head):
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow  # >15s on the 1-core box
 def test_aspp_head():
     _run(dict(type="DynamicASPPHead", in_index=3, channels=16,
               dilations=(1, 2, 4), dropout_ratio=0.0, num_classes=5,

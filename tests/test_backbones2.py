@@ -18,6 +18,7 @@ VIT = dict(type="ElasticTransformer", embed_dim=32, depth=4, num_heads=2,
            out_indices=(1, 3), dtype=F32)
 
 
+@pytest.mark.slow  # >15s on the 1-core box
 def test_convnext_shapes_and_masking():
     bb = build_backbone(CONVNEXT)
     max_arch = backbone_max_arch(CONVNEXT)
@@ -186,6 +187,7 @@ def test_rel_pos_value_contrib_matches_dense():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # >15s on the 1-core box
 def test_elastic_mixvit_segformer():
     """SegFormer-style stretch supernet: shapes, masking, head pairing."""
     from gaiaseg_tpu.models import build_segmentor, encode_arch, \
@@ -253,6 +255,7 @@ def test_flash_attention_backward_matches_dense(monkeypatch):
                                    rtol=5e-4, atol=5e-4, err_msg=name)
 
 
+@pytest.mark.slow  # >15s on the 1-core box
 def test_resnet_scan_blocks_variant():
     """scan_blocks=True: stacked-param layout forward works and depth
     masking behaves identically to the unrolled layout."""

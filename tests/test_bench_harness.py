@@ -28,39 +28,49 @@ def test_section_ok_and_error_and_order():
     assert ran == ["a"]
 
 
-def test_hang_converts_to_skip_and_extras_are_protected():
+def test_hang_blocks_everything_after():
+    # after a hang the abandoned thread may still be mid-RPC on the
+    # device: NO further section (core included) may run beside it —
+    # the coordinator emits the final JSON and exits instead
     r = bench.SectionRunner(deadline_s=100)
     assert r.run("sleepy", 0.2, lambda: time.sleep(60)) is False
     assert r.hang_seen
     assert "hang" in r.skipped["sleepy"]
-    # extras are skipped once a hang was seen (device may be wedged)...
     assert r.run("extra", 5, lambda: None, core=False) is False
     assert r.skipped["extra"] == "prior section hang"
-    # ...but core sections still get their chance
-    assert r.run("core", 5, lambda: None, core=True) is True
+    assert r.run("core", 5, lambda: None, core=True) is False
+    assert r.skipped["core"] == "prior section hang"
 
 
-def test_deadline_skips_sections():
+def test_deadline_refuses_sections_below_cold_minimum():
+    clock = _FastClock()
+    r = bench.SectionRunner(deadline_s=1000, now=clock)
+    clock.t = 500.0  # 500s left
+    ran = []
+    # a section whose known cold minimum exceeds the remaining budget is
+    # refused outright (r4 burned its margin starting e2e_cached with
+    # 364s left against a ~572s executable load)
+    assert r.run("futile", 900, ran.append, min_required_s=572) is False
+    assert "cold minimum" in r.skipped["futile"]
+    assert ran == []
+    # one that fits still runs
+    assert r.run("fits", 900, lambda: ran.append(1),
+                 min_required_s=400) is True
+    assert ran == [1]
+
+
+def test_section_cap_clamped_to_deadline_plus_grace():
     clock = _FastClock()
     r = bench.SectionRunner(deadline_s=100, now=clock)
-    clock.t = 95.0  # 5s left < min_required_s
-    assert r.run("late", 50, lambda: None) is False
-    assert "deadline" in r.skipped["late"]
-
-
-def test_section_cap_clamped_to_deadline():
-    clock = _FastClock()
-    r = bench.SectionRunner(deadline_s=100, now=clock)
-    # a hanging section with a huge cap must still be abandoned at the
-    # global deadline, not at the cap. Real clock drives the join; the
-    # fake clock only reports remaining()
     clock.t = 99.5
+    assert r.remaining() == 0.5
+    # a hanging section with a huge cap is abandoned at deadline+grace,
+    # not at the cap. Real clock drives the join.
     t0 = time.perf_counter()
-    r2 = bench.SectionRunner(deadline_s=0.7)
+    r2 = bench.SectionRunner(deadline_s=0.4, grace_s=0.3)
     assert r2.run("hog", 9999, lambda: time.sleep(60),
                   min_required_s=0.0) is False
     assert time.perf_counter() - t0 < 5.0
-    assert r.remaining() == 0.5
 
 
 def test_assemble_with_no_measurements_is_valid_json():
@@ -75,6 +85,47 @@ def test_assemble_with_no_measurements_is_valid_json():
     assert out["extras"]["skipped_sections"] == {"setup": "error: boom"}
     assert "train_img_per_sec_e2e" in out["extras"]
     assert s
+
+
+def test_guard_rejects_impossible_e2e_and_reports_wall_derived():
+    # the exact r4 driver failure: window median 774 img/s against a
+    # 204 img/s dispatch-only ceiling. The guard must ship the
+    # conservative wall-derived number and flag the violation.
+    r = bench.SectionRunner(deadline_s=1)
+    R = {"train_ips_k8": 204.1, "train_batch": 8,
+         "train_ips_e2e": 774.06,
+         "train_ips_e2e_wall_s": 512.1, "train_ips_e2e_iters": 256}
+    out = bench._assemble(r, R, {})
+    ex = out["extras"]
+    wall_derived = 256 * 8 / 512.1
+    assert abs(ex["train_img_per_sec_e2e"] - wall_derived) < 0.01
+    assert "train_ips_e2e" in ex["suspect"]
+    assert "ceiling" in ex["suspect"]["train_ips_e2e"]
+
+
+def test_guard_passes_plausible_e2e_untouched():
+    r = bench.SectionRunner(deadline_s=1)
+    R = {"train_ips_k8": 204.1, "train_batch": 8,
+         "train_ips_e2e_cached": 146.3,
+         "train_ips_e2e_cached_wall_s": 300.0,
+         "train_ips_e2e_cached_iters": 256}
+    out = bench._assemble(r, R, {})
+    ex = out["extras"]
+    assert ex["train_img_per_sec_e2e_device_cache"] == 146.3
+    assert ex["suspect"] is None
+
+
+def test_mid_section_windows_give_partial_e2e_number():
+    # a kill mid-e2e: only streamed windows exist (no final median, no
+    # wall time). The assemble must still derive a number from the
+    # interior windows so the driver's tail carries evidence.
+    r = bench.SectionRunner(deadline_s=1)
+    R = {"train_ips_k8": 204.1, "train_batch": 8,
+         "train_ips_e2e_cached_windows": [0.5, 140.0, 150.0, 145.0]}
+    out = bench._assemble(r, R, {})
+    ex = out["extras"]
+    assert ex["train_img_per_sec_e2e_device_cache"] == 145.0
+    assert ex["e2e_cached_windows"] == [0.5, 140.0, 150.0, 145.0]
 
 
 def test_assemble_partial_core_results():

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gaiaseg_tpu.ops.dynamic_layers import DynBatchNorm
+import pytest
 
 F32 = jnp.float32
 CFG = osp.join(osp.dirname(__file__), "..", "configs", "tests",
@@ -55,6 +56,7 @@ def test_grouped_bn_masked_channels_stay_zero():
     assert np.all(y[..., 4:] == 0) and np.any(y[..., :4] != 0)
 
 
+@pytest.mark.slow  # >15s on the 1-core box
 def test_global_vs_grouped_bn_trajectory():
     """A/B on the e2e synthetic config: global-sync stats (our default) vs
     reference-style per-device groups (stat_groups=8 on the 8-device mesh)

@@ -15,6 +15,9 @@ from gaiaseg_tpu.models import (ArchBounds, build_segmentor, covering_bounds,
                                 encode_arch, exact_bounds,
                                 make_depth_bucketer, model_max_arch)
 
+# long-running module: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 F32 = jnp.float32
 
 MODEL = dict(

@@ -6,6 +6,7 @@ import numpy as np
 from gaiaseg_tpu.models import build_backbone
 from gaiaseg_tpu.models.arch_util import backbone_max_arch
 from gaiaseg_tpu.ops.masking import tree_to_ints
+import pytest
 
 F32 = jnp.float32
 
@@ -15,6 +16,7 @@ CFG = dict(type="ElasticConvformer", stem_width=8,
            out_indices=(0, 1, 2, 3), dtype=F32)
 
 
+@pytest.mark.slow  # >15s on the 1-core box
 def test_convformer_shapes():
     bb = build_backbone(CFG)
     max_arch = backbone_max_arch(CFG)

@@ -156,6 +156,7 @@ def test_train_runs_on_cached_dataset(tmp_path):
     assert all(np.isfinite(h["loss"]) for h in history["loss"])
 
 
+@pytest.mark.slow  # >15s on the 1-core box
 def test_eval_cm_identical_cached_vs_streaming():
     import jax.numpy as jnp
     from gaiaseg_tpu.engine.evaluate import evaluate

@@ -12,6 +12,9 @@ import sys
 import numpy as np
 import pytest
 
+# long-running module: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 REPO = osp.dirname(osp.dirname(osp.abspath(__file__)))
 
 

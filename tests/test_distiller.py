@@ -3,6 +3,7 @@ teacher gradients; checkpoint-surgery shape tests."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaiaseg_tpu.models import build_segmentor
 from gaiaseg_tpu.models.arch_util import encode_arch, model_max_arch
@@ -30,6 +31,7 @@ DISTILLER = dict(
 )
 
 
+@pytest.mark.slow  # >15s on the 1-core box
 def test_distiller_train_step_and_frozen_teacher():
     model = build_segmentor(DISTILLER)
     max_arch = model_max_arch(DISTILLER)

@@ -11,6 +11,10 @@ from gaiaseg_tpu.data import SyntheticDataset
 from gaiaseg_tpu.engine import evaluate, train_segmentor
 from gaiaseg_tpu.models import build_segmentor, encode_arch, model_max_arch
 from gaiaseg_tpu.utils import Config
+import pytest
+
+# long-running module: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 CFG = osp.join(osp.dirname(__file__), "..", "configs", "tests",
                "tiny_synthetic.py")

@@ -5,11 +5,13 @@ import os.path as osp
 import numpy as np
 
 from gaiaseg_tpu.utils import Config
+import pytest
 
 CFG = osp.join(osp.dirname(__file__), "..", "configs", "tests",
                "tiny_synthetic.py")
 
 
+@pytest.mark.slow  # >15s on the 1-core box
 def test_inference_roundtrip(tmp_path):
     import jax
     from gaiaseg_tpu.engine import (init_segmentor, inference_segmentor,

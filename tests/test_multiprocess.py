@@ -9,6 +9,10 @@ import os
 import socket
 import subprocess
 import sys
+import pytest
+
+# long-running module: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
 
 def _free_port() -> int:
     s = socket.socket()

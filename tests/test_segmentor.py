@@ -102,6 +102,7 @@ def test_arch_switch_zero_recompile(model_and_vars):
     assert fwd._cache_size() == n_compiles  # same compiled graph for all
 
 
+@pytest.mark.slow  # >15s on the 1-core box
 def test_forward_train_losses(model_and_vars):
     model, variables = model_and_vars
     img = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3), F32)
@@ -138,6 +139,7 @@ def test_slide_matches_whole_when_single_window(model_and_vars):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # >15s on the 1-core box
 def test_slide_overlapping_windows(model_and_vars):
     model, variables = model_and_vars
     img = jax.random.normal(jax.random.PRNGKey(6), (1, 48, 48, 3), F32)

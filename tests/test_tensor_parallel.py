@@ -15,6 +15,7 @@ from gaiaseg_tpu.models import build_segmentor, encode_arch, model_max_arch
 from gaiaseg_tpu.parallel.mesh import (make_mesh, replicate, shard_batch,
                                        shard_report, shard_state, tp_spec)
 from jax.sharding import PartitionSpec as P
+import pytest
 
 F32 = jnp.float32
 
@@ -47,6 +48,7 @@ def test_tp_spec_rules():
     assert tp_spec("x/kernel", (8, 8), 2) == P()  # below min_size
 
 
+@pytest.mark.slow  # >15s on the 1-core box
 def test_tp_step_matches_dp():
     model = build_segmentor(MODEL)
     max_arch = model_max_arch(MODEL)
@@ -113,6 +115,7 @@ FLAGSHIP_TINY = dict(
     test_cfg=dict(mode="whole"))
 
 
+@pytest.mark.slow  # >15s on the 1-core box
 def test_tp_step_matches_dp_flagship_resnet_psp():
     """TP==DP on the FLAGSHIP architecture family: masked DynamicResNet +
     PSP head + concat-consuming aux head, at a SAMPLED subnet arch (masking

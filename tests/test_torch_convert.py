@@ -13,6 +13,9 @@ from gaiaseg_tpu.engine.torch_convert import resnet_state_dict_to_params
 from gaiaseg_tpu.models import build_backbone
 from gaiaseg_tpu.ops.masking import tree_to_ints
 
+# long-running module: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 F32 = jnp.float32
 
 

@@ -10,6 +10,9 @@ from gaiaseg_tpu.engine import train_segmentor, load_checkpoint
 from gaiaseg_tpu.models import build_segmentor
 from gaiaseg_tpu.utils import Config
 
+# long-running module: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG = osp.join(osp.dirname(__file__), "..", "configs", "tests",
                "tiny_synthetic.py")
 
@@ -142,6 +145,81 @@ def test_train_bounded_cycle_dispatch(tmp_path):
     # cycle emits no losses), so monotonicity is not asserted — learning is
     # proven by test_overfit_synthetic_miou_above_chance; this test pins the
     # cycle-dispatch integration (state advances, losses finite, logs flow)
+
+
+def test_sync_window_clock_orders_sync_before_timestamp():
+    """The window clock helper must device-sync BEFORE reading the time:
+    reading the clock first measures host dispatch rate (the r4 driver
+    bench logged 774 img/s against a 204 img/s ceiling that way)."""
+    from gaiaseg_tpu.engine.train import _sync_window_clock
+    calls = []
+
+    def fake_sync():
+        calls.append("sync")
+        return 42
+
+    def fake_time():
+        calls.append("time")
+        return 1.5
+
+    out, t = _sync_window_clock(fake_sync, _time=fake_time)
+    assert (out, t) == (42, 1.5)
+    assert calls == ["sync", "time"]
+
+
+def test_log_boundary_routes_through_sync_clock(tmp_path, monkeypatch):
+    """Every log window's timestamp must come from _sync_window_clock
+    (one call per history row), so window img/s is sync-to-sync wall
+    time including device execution."""
+    from gaiaseg_tpu.engine import train as train_mod
+    real = train_mod._sync_window_clock
+    calls = []
+
+    def spy(sync_fn, _time=None):
+        out = real(sync_fn) if _time is None else real(sync_fn, _time)
+        calls.append(out[1])
+        return out
+
+    monkeypatch.setattr(train_mod, "_sync_window_clock", spy)
+    cfg = Config.fromfile(CFG)
+    cfg["steps_per_dispatch"] = 4
+    cfg["log_config"] = dict(interval=4)
+    cfg["evaluation"] = dict(interval=1000)
+    cfg["checkpoint_config"] = dict(interval=1000, calibrate_bn=0)
+    model = build_segmentor(cfg["model"],
+                            test_cfg=cfg["model"].get("test_cfg"))
+    rows = []
+    _, history = train_segmentor(model, cfg, work_dir=str(tmp_path),
+                                 seed=0, max_iters=8,
+                                 window_cb=rows.append)
+    assert len(history["loss"]) == len(calls) > 0
+    assert rows == history["loss"]  # window_cb streams every row
+
+
+def test_window_loss_covers_all_cycles(tmp_path):
+    """A log window spanning multiple dispatch cycles must average the
+    loss over ALL of them, not just the last cycle's steps: the same
+    8-iter run logged as two 4-iter windows vs one 8-iter window must
+    agree (mean of the two window losses == the combined window loss)."""
+    cfg = Config.fromfile(CFG)
+    cfg["steps_per_dispatch"] = 4
+    cfg["bn_refresh_interval"] = 1000  # no boundary step: identical draws
+    cfg["checkpoint_config"] = dict(interval=1000, calibrate_bn=0)
+    cfg["evaluation"] = dict(interval=1000, calibrate_bn=0)
+
+    def run(interval):
+        cfg["log_config"] = dict(interval=interval)
+        model = build_segmentor(cfg["model"],
+                                test_cfg=cfg["model"].get("test_cfg"))
+        _, h = train_segmentor(model, cfg,
+                               work_dir=str(tmp_path / f"w{interval}"),
+                               seed=0, max_iters=8)
+        return [r["loss"] for r in h["loss"]]
+
+    l4 = run(4)
+    l8 = run(8)
+    assert len(l4) == 2 and len(l8) == 1
+    assert abs(l8[0] - (l4[0] + l4[1]) / 2) < 1e-4, (l4, l8)
 
 
 def test_train_cycle_tail_reaches_max_iters_exactly(tmp_path):

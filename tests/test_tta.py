@@ -10,6 +10,7 @@ from gaiaseg_tpu.data.pipeline_cfg import parse_test_pipeline
 from gaiaseg_tpu.engine.evaluate import make_eval_step
 from gaiaseg_tpu.models import build_segmentor, encode_arch, model_max_arch
 from gaiaseg_tpu.utils import Config
+import pytest
 
 CFG = osp.join(osp.dirname(__file__), "..", "configs", "tests",
                "tiny_synthetic.py")
@@ -37,6 +38,7 @@ def test_parse_img_ratios():
     assert p3.img_ratios is None
 
 
+@pytest.mark.slow  # >15s on the 1-core box
 def test_eval_step_multiscale_tta():
     """ratios eval step: runs aug_test over rescaled inputs inside one jit
     program; output confusion matrix is well-formed and a ratio list of

@@ -36,6 +36,12 @@ def parse_args():
                    help="config file providing train_sampler when the "
                         "model config does not (e.g. "
                         "configs/_dynamic_/model_samplers/ar50to101v2.py)")
+    p.add_argument("--e2e", action="store_true",
+                   help="also pre-stage bench.py's e2e train-loop "
+                        "programs (device-cached + streaming feed, "
+                        "jit_init, augment) by driving its e2e sections "
+                        "once — the section shares compile keys with the "
+                        "bench by construction")
     from gaiaseg_tpu.utils.cli import add_device_arg
     add_device_arg(p)
     return p.parse_args()
@@ -155,6 +161,21 @@ def main():
             print(f"[{i + 1}/{len(variants)}] cycle variant "
                   f"{[getattr(b, 'body_depth', 'switch') for b in bseq]}: "
                   f"{time.time() - t0:.0f}s", flush=True)
+    if args.e2e:
+        # drive bench.py's own e2e sections (cached first — the flagship
+        # production feed): every program they compile lands in the
+        # persistent cache under the exact key a driver bench run uses
+        import bench
+        t0 = time.time()
+        R = {"train_batch": args.batch}
+        bctx = {}
+        bench._setup(R, bctx)
+        bench._sec_e2e(R, bctx, cached=True)
+        print(f"e2e (device-cached) warm: {time.time() - t0:.0f}s",
+              flush=True)
+        t0 = time.time()
+        bench._sec_e2e(R, bctx, cached=False)
+        print(f"e2e (streaming) warm: {time.time() - t0:.0f}s", flush=True)
     print("warmup done; programs persisted in the compilation cache",
           flush=True)
 
