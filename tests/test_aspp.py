@@ -32,6 +32,7 @@ def test_aspp_head():
               dtype=F32, loss_decode=dict(type="CrossEntropyLoss")))
 
 
+@pytest.mark.slow  # >15s-ish on the 1-core box
 def test_deeplabv3plus_head():
     _run(dict(type="DepthwiseSeparableASPPHead", in_index=3, channels=16,
               dilations=(1, 2, 4), c1_in_index=0, c1_channels=8,

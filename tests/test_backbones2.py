@@ -37,6 +37,7 @@ def test_convnext_shapes_and_masking():
     assert np.all(o1[..., 8:] == 0) and np.any(o1[..., :8] != 0)
 
 
+@pytest.mark.slow  # >15s-ish on the 1-core box
 def test_convnext_depth_identity():
     """depth-masked block leaves activations unchanged."""
     bb = build_backbone(CONVNEXT)

@@ -30,6 +30,7 @@ def test_convformer_shapes():
                for o in outs)
 
 
+@pytest.mark.slow  # >15s-ish on the 1-core box
 def test_convformer_masking_and_depth():
     bb = build_backbone(CFG)
     max_arch = backbone_max_arch(CFG)

@@ -70,6 +70,7 @@ def test_distiller_train_step_and_frozen_teacher():
     assert labels["backbone_m"]["stem0"]["conv"]["kernel"] is False
 
 
+@pytest.mark.slow  # >15s-ish on the 1-core box
 def test_teacher_checkpoint_load_from_torch_pth(tmp_path):
     """A FULL torch teacher segmentor .pth (backbone.* + decode_head.*)
     loads into the distiller's frozen teacher — the reference loads a full

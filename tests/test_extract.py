@@ -6,6 +6,7 @@ import numpy as np
 
 from gaiaseg_tpu.engine.extract import extract_subnet, subnet_model_cfg
 from gaiaseg_tpu.models import (build_segmentor, encode_arch, model_max_arch)
+import pytest
 
 F32 = jnp.float32
 
@@ -32,6 +33,7 @@ META = {"name": "sub",
         "arch.backbone.body.depth": [1, 2, 2, 1]}
 
 
+@pytest.mark.slow  # >15s-ish on the 1-core box
 def test_extracted_subnet_matches_masked_supernet():
     model = build_segmentor(SUPERNET)
     k = jax.random.PRNGKey(0)
@@ -82,6 +84,7 @@ V1C_META = {"name": "subv1c",
             "arch.backbone.body.depth": [1, 2, 2, 1]}
 
 
+@pytest.mark.slow  # >15s-ish on the 1-core box
 def test_extracted_deep_stem_subnet_matches_masked_supernet():
     """v1c (deep 3-conv stem) extraction round-trip: a 3-LIST stem_width
     meta must slice all three stem convs and reproduce the masked supernet

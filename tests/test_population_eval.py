@@ -7,6 +7,7 @@ from gaiaseg_tpu.data import SyntheticDataset
 from gaiaseg_tpu.engine import evaluate
 from gaiaseg_tpu.engine.evaluate import evaluate_population
 from gaiaseg_tpu.models import build_segmentor, encode_arch, model_max_arch
+import pytest
 
 F32 = jnp.float32
 
@@ -49,6 +50,7 @@ def test_population_matches_sequential():
         assert abs(seq["aAcc"] - pop_res["aAcc"]) < 1e-9
 
 
+@pytest.mark.slow  # >15s-ish on the 1-core box
 def test_population_bucketed_matches_sequential():
     """Depth-bucketed population sweep (per-group STATIC bounds) returns
     the same metrics, in input order, as the sequential eval — the
