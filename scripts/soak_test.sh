@@ -32,8 +32,17 @@ PID=$!
 (
   # kill right after the FIRST periodic checkpoint appears (mid-run by
   # construction; checkpoints land on cycle boundaries, e.g. iter_520,
-  # never exactly iter_512). KILL_AFTER is the fallback if the run
-  # stalls before checkpointing.
+  # never exactly iter_512). The KILL_AFTER fallback only ARMS once the
+  # run is actually stepping (first "iter " log line): the relay charges
+  # ~8-10 min of program (re)loading at the head of any fresh process
+  # (docs/PERF.md), and counting that against the fallback killed the
+  # run before its first checkpoint could exist.
+  for _ in $(seq 1800); do
+    grep -q "iter " "$WORK/phase1.log" 2>/dev/null && break
+    ls "$WORK"/iter_*.ckpt >/dev/null 2>&1 && break
+    kill -0 "$PID" 2>/dev/null || exit 0
+    sleep 1
+  done
   for _ in $(seq "$KILL_AFTER"); do
     ls "$WORK"/iter_*.ckpt >/dev/null 2>&1 && break
     kill -0 "$PID" 2>/dev/null || exit 0
