@@ -562,14 +562,26 @@ def train_segmentor(model, cfg, *, work_dir: str,
     bn_interval = int(cfg.get("bn_refresh_interval") or log_interval)
     ckpt_cfg = dict(cfg.get("checkpoint_config") or {})
     eval_cfg = dict(cfg.get("evaluation") or {})
-    bn_stale = bn_interval > log_interval
+    # Silent fast steps skip BN running-stat updates (the 2x-cost
+    # finding, make_train_step), so running stats EMA-converge
+    # log_interval-times slower than the reference's every-iter updates:
+    # measured on-chip, a 772-iter run still carried ~0.9^12 = 28% of its
+    # fresh-init stats and mid-run cross-arch mIoU sat at chance until
+    # the stats finally converged. Whenever the loop takes silent steps,
+    # eval and checkpoint therefore re-estimate the stats (calibrate_bn,
+    # default 8 batches at the MAX anchor) — the TPU-loop equivalent of
+    # the reference's per-iter stat updates. Explicit
+    # {checkpoint_config,evaluation}.calibrate_bn overrides (0 disables).
+    silent_steps = k_disp > 1 or log_interval > 1
     _ck, _ev = ckpt_cfg.get("calibrate_bn"), eval_cfg.get("calibrate_bn")
-    ckpt_calib_n = int(_ck) if _ck is not None else (8 if bn_stale else 0)
-    eval_calib_n = int(_ev) if _ev is not None else (8 if bn_stale else 0)
-    if bn_stale and (_ck is None or _ev is None):
+    ckpt_calib_n = int(_ck) if _ck is not None else (8 if silent_steps
+                                                     else 0)
+    eval_calib_n = int(_ev) if _ev is not None else (8 if silent_steps
+                                                     else 0)
+    if bn_interval > log_interval and (_ck is None or _ev is None):
         logger.warning(
             "bn_refresh_interval=%d > log_interval=%d: BN running stats "
-            "stay near-initial between refreshes, so checkpoints and "
+            "stay near-initial between refreshes; checkpoints and "
             "cross-arch eval auto-calibrate (%d batches at the MAX "
             "anchor). Set checkpoint_config.calibrate_bn / "
             "evaluation.calibrate_bn explicitly (0 disables).",

@@ -58,8 +58,16 @@ class DynamicDistiller(DynamicEncoderDecoder):
                 float(cfg.get("pairwise_weight", 0.0)))
 
     def teacher_forward(self, img: Array) -> Tuple[Any, Optional[Array]]:
-        """Frozen teacher features + logits (reference :264-274)."""
-        feats = self.t_backbone(img, None, train=False)
+        """Frozen teacher features + logits (reference :264-274).
+
+        The reference teacher is a static BEiT; here the teacher may also
+        be an elastic backbone (e.g. a trained supernet distilling into a
+        fresh one — self-distillation), in which case it runs at its MAX
+        arch: static python ints, so the teacher stays one fixed graph.
+        """
+        t_arch = self.t_backbone.max_arch() \
+            if hasattr(self.t_backbone, "max_arch") else None
+        feats = self.t_backbone(img, t_arch, train=False)
         if self.t_neck is not None:
             feats = self.t_neck(feats, train=False)
         feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)

@@ -144,6 +144,104 @@ def test_teacher_checkpoint_load_from_torch_pth(tmp_path):
     assert np.isfinite(float(total))
 
 
+DISTILLER_RESNET = dict(
+    type="DynamicDistiller",
+    backbone=dict(type="DynamicResNet", stem_width=8,
+                  body_width=[8, 8, 16, 16], body_depth=[1, 1, 1, 1],
+                  out_indices=(0, 1, 2, 3), dtype=F32),
+    decode_head=dict(type="DynamicPSPHead", in_index=3, channels=8,
+                     pool_scales=(1, 2), dropout_ratio=0.0, num_classes=4,
+                     dtype=F32, loss_decode=dict(type="CrossEntropyLoss")),
+    teacher_backbone=dict(type="DynamicResNet", stem_width=8,
+                          body_width=[8, 8, 16, 16],
+                          body_depth=[1, 1, 1, 1],
+                          out_indices=(0, 1, 2, 3), dtype=F32),
+    teacher_decode_head=dict(type="DynamicPSPHead", in_index=3, channels=8,
+                             pool_scales=(1, 2), dropout_ratio=0.0,
+                             num_classes=4, dtype=F32,
+                             loss_decode=dict(type="CrossEntropyLoss")),
+    distill_cfg=dict(temperature=2.0, distill_weight=1.0,
+                     pairwise_weight=0.5),
+    test_cfg=dict(mode="whole"),
+)
+
+
+def test_elastic_teacher_runs_at_max_and_stays_frozen():
+    """Teacher may be an elastic backbone (self-distillation: a trained
+    supernet at MAX arch teaches a fresh one). Extension beyond the
+    reference's static-BEiT teacher; frozen-teacher semantics identical
+    (reference dynamic_distiller.py:195-200,264-274)."""
+    model = build_segmentor(DISTILLER_RESNET)
+    max_arch = model_max_arch(DISTILLER_RESNET)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3), F32)
+    gt = jax.random.randint(jax.random.PRNGKey(1), (2, 32, 32), 0, 4)
+    arch = encode_arch(max_arch)
+    k = jax.random.PRNGKey(2)
+    variables = model.init({"params": k, "dropout": k}, img, gt, arch,
+                           method="forward_train")
+
+    def loss_fn(params):
+        (total, logs), _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            img, gt, arch, method="forward_train",
+            mutable=["batch_stats"], rngs={"dropout": k})
+        return total, logs
+
+    (total, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"])
+    assert np.isfinite(float(total))
+    assert float(logs["distill_loss_seg"]) > 0
+    for name in ("t_backbone", "t_decode_head"):
+        gsum = sum(float(jnp.sum(jnp.abs(x)))
+                   for x in jax.tree_util.tree_leaves(grads[name]))
+        assert gsum == 0.0, name
+
+
+def test_make_teacher_ckpt_roundtrip(tmp_path):
+    """tools/make_teacher_ckpt.py: a trained student segmentor checkpoint
+    remaps into the distiller's t_* subtrees and loads bit-exact."""
+    import sys, os.path as osp
+    sys.path.insert(0, osp.join(osp.dirname(__file__), "..", "tools"))
+    import jax.numpy as jnp
+    from make_teacher_ckpt import convert
+    from gaiaseg_tpu.engine.checkpoint import save_checkpoint
+    from gaiaseg_tpu.engine.train import load_teacher_checkpoint
+
+    # the "trained" model: the plain student segmentor of DISTILLER_RESNET
+    plain_cfg = {k: v for k, v in DISTILLER_RESNET.items()
+                 if not k.startswith(("teacher_", "distill_"))}
+    plain_cfg["type"] = "DynamicEncoderDecoder"
+    plain = build_segmentor(plain_cfg)
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3), F32)
+    gt = jnp.zeros((1, 32, 32), jnp.int32)
+    arch = encode_arch(model_max_arch(plain_cfg))
+    k = jax.random.PRNGKey(7)
+    pv = plain.init({"params": k, "dropout": k}, img, gt, arch,
+                    method="forward_train")
+    src = str(tmp_path / "trained.ckpt")
+    save_checkpoint(src, {"params": pv["params"],
+                          "batch_stats": pv["batch_stats"]})
+    dst = str(tmp_path / "teacher.ckpt")
+    convert(src, dst)
+
+    distiller = build_segmentor(DISTILLER_RESNET)
+    dv = distiller.init({"params": k, "dropout": k}, img, gt, arch,
+                        method="forward_train")
+    new_p, new_s = load_teacher_checkpoint(dst, dv["params"],
+                                           dv["batch_stats"],
+                                           DISTILLER_RESNET)
+    want = pv["params"]["backbone_m"]["stem0"]["conv"]["kernel"]
+    got = new_p["t_backbone"]["stem0"]["conv"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    got_s = new_s["t_backbone"]["stem0"]["bn"]["mean"]
+    want_s = pv["batch_stats"]["backbone_m"]["stem0"]["bn"]["mean"]
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+    # student subtrees untouched
+    np.testing.assert_array_equal(
+        np.asarray(new_p["backbone_m"]["stem0"]["conv"]["kernel"]),
+        np.asarray(dv["params"]["backbone_m"]["stem0"]["conv"]["kernel"]))
+
+
 def test_rel_pos_table_resample_shapes():
     from gaiaseg_tpu.engine.ckpt_surgery import resample_rel_pos_bias_table
     src, dst, heads = 7, 14, 3
