@@ -470,12 +470,13 @@ def make_depth_bucketer(sampler, max_arch: Dict[str, Any],
         # None fields cover everything (see cost() above): price them at
         # MAX so the ascending sort never prefers an unbounded candidate
         w = b.body_width or max_b.body_width or tuple([1] * len(max_d))
-        return (sum(d * ww * ww for d, ww in zip(b.body_depth, w))
+        dd = b.body_depth or max_b.body_depth or tuple([1] * len(w))
+        return (sum(d * ww * ww for d, ww in zip(dd, w))
                 + (b.stem_width or max_b.stem_width or 0) ** 2)
 
     scan_cands = tuple(sorted(
         set(anchor_bounds) | set(rand_cands),
-        key=lambda b: (scost(b), b.body_depth, b.body_width,
+        key=lambda b: (scost(b), b.body_depth or (), b.body_width or (),
                        b.stem_width or 0)))
     _scan_max_idx = next(
         (i for i, c in enumerate(scan_cands)
