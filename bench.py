@@ -1,7 +1,9 @@
 #!/usr/bin/env python
 """Benchmark: supernet train + slide-inference throughput on real hardware.
 
-Prints ONE JSON line — ALWAYS:
+Stdout protocol: emits the JSON result line REPEATEDLY (after every
+section and every ~75 s); the LAST line on stdout is the result —
+always present, no matter when the process is killed:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 Harness contract (this file may be killed by an external timeout, so it
@@ -151,7 +153,10 @@ class SectionRunner:
         return True
 
 
-_PRINT_LOCK = threading.Lock()
+# RLock: _finish holds it across {set _FINISHED, emit final, exit} while
+# _emit re-acquires inside — so a ticker iteration can never print a stale
+# partial AFTER the final line (the driver parses the LAST line)
+_PRINT_LOCK = threading.RLock()
 
 
 def _emit(result: dict):
@@ -199,7 +204,9 @@ def main():
     def _tick():
         while True:
             time.sleep(75)
-            if not _FINISHED.is_set():
+            with _PRINT_LOCK:
+                if _FINISHED.is_set():
+                    return
                 _emit_partial(runner, R, ctx, why="ticker")
 
     ticker = threading.Thread(target=_tick, daemon=True, name="bench-tick")
@@ -219,11 +226,12 @@ _EMITTED = threading.Lock()
 def _finish(runner, R, ctx, backstop=False):
     if not _EMITTED.acquire(blocking=False):
         return  # someone already finished
-    _FINISHED.set()
-    _emit_partial(runner, R, ctx, why="final")
-    log(f"emitted final JSON ({'backstop' if backstop else 'normal'} "
-        f"path); exiting")
-    os._exit(0)
+    with _PRINT_LOCK:  # bars the ticker from printing after the final line
+        _FINISHED.set()
+        _emit_partial(runner, R, ctx, why="final")
+        log(f"emitted final JSON ({'backstop' if backstop else 'normal'} "
+            f"path); exiting")
+        os._exit(0)
 
 
 def _run_sections(runner, R, ctx):
@@ -837,10 +845,17 @@ def _guarded_ips(R, key, ceiling, suspect):
         win = float(np.median(wins[1:]))
     if win is None:
         return None
+    # the train loop logs GLOBAL img/s (log_interval * global batch / dt)
+    # while the ceiling (train_ips_k8) and the headline are per-chip —
+    # normalize before comparing, or a correct multi-chip number would be
+    # flagged suspect (identity at n_chips=1, the driver's case)
+    nc = R.get("n_chips") or 1
+    win = win / nc
     wall = R.get(key + "_wall_s")
     iters = R.get(key + "_iters")
     batch = R.get("train_batch")
-    wall_ips = (iters * batch / wall) if (wall and iters and batch) else None
+    wall_ips = (iters * batch / wall / nc) \
+        if (wall and iters and batch) else None
     if ceiling and win > 1.05 * ceiling:
         suspect[key] = (f"window median {win:.1f} img/s exceeds the "
                         f"{ceiling:.1f} dispatch-only ceiling; reporting "

@@ -970,6 +970,7 @@ def train_segmentor(model, cfg, *, work_dir: str,
         if progress_cb:
             progress_cb(it - 1, logs)
 
+        calibrated_this_iter = False
         if it % ckpt_interval < step_inc or it == max_iters:
             calib_n = ckpt_calib_n
             if calib_n and train_dataset is not None:
@@ -987,6 +988,7 @@ def train_segmentor(model, cfg, *, work_dir: str,
                     batch_size=samples_per_gpu,
                     test_params=test_pipe)
                 state = state.replace(batch_stats=vs["batch_stats"])
+                calibrated_this_iter = calib_n >= eval_calib_n
             if jax.process_index() == 0:
                 path = osp.join(work_dir, f"iter_{it}.ckpt")
                 save_checkpoint(path, state, meta={
@@ -1001,11 +1003,16 @@ def train_segmentor(model, cfg, *, work_dir: str,
                 it % eval_interval < step_inc:
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
-            if eval_calib_n and train_dataset is not None:
+            if eval_calib_n and train_dataset is not None and \
+                    not calibrated_this_iter:
                 # cross_arch_evaluate consumes running stats directly;
                 # when bn_refresh_interval starves the in-loop refresh,
                 # re-estimate them here (eval-only — train state keeps
-                # its own stats)
+                # its own stats). Skipped when the checkpoint block just
+                # calibrated state.batch_stats at this same iteration:
+                # `variables` above already carries those stats, and a
+                # second calibrate_bn would repeat the whole estimation
+                # for identical results.
                 from .calibrate import calibrate_bn
                 variables = calibrate_bn(
                     model, variables, train_dataset,

@@ -428,7 +428,17 @@ def make_depth_bucketer(sampler, max_arch: Dict[str, Any],
         w = b.body_width or max_b.body_width or tuple([1] * len(max_d))
         return sum(d * ww * ww for d, ww in zip(b.body_depth, w))
 
-    uniq = sorted(set(candidates), key=lambda b: (cost(b), b))
+    def skey(b: ArchBounds):
+        # deterministic total-order tie-break that survives None fields
+        # (raw namedtuple comparison raises TypeError when a cost tie
+        # pits body_width=None against a concrete tuple): None — "covers
+        # every width" — sorts AFTER concrete bounds of equal cost, so
+        # bucket() prefers the tighter candidate
+        return (cost(b), b.body_depth is None, b.body_depth or (),
+                b.body_width is None, b.body_width or (),
+                b.stem_width is None, b.stem_width or 0)
+
+    uniq = sorted(set(candidates), key=skey)
 
     def bucket(meta) -> ArchBounds:
         want = exact_bounds(max_arch, meta)
