@@ -101,6 +101,20 @@ class SectionRunner:
     def remaining(self) -> float:
         return self.deadline_s - (self._now() - self._t0)
 
+    @staticmethod
+    def _in_compile(t) -> bool:
+        """True when thread ``t``'s current Python stack contains an XLA
+        compile/lowering frame (e.g. backend_compile_and_load,
+        _cached_compilation, jit lowering) — the signature that a cap
+        overrun is a slow compile, not a wedged execution RPC."""
+        fr = sys._current_frames().get(t.ident)
+        while fr is not None:
+            n = fr.f_code.co_name
+            if "compile" in n or "lower" in n:
+                return True
+            fr = fr.f_back
+        return False
+
     def run(self, name: str, cap_s: float, fn, core: bool = True,
             min_required_s: float = 30.0) -> bool:
         """Execute ``fn()`` under the cap. Returns True iff it finished.
@@ -133,6 +147,19 @@ class SectionRunner:
         t_start = self._now()
         t.start()
         t.join(cap)
+        # Cap reached with the worker mid-COMPILE is not a wedge: relay
+        # compiles look like hangs (the r3 "e2e hang" root cause —
+        # diagnose by stack, CLAUDE.md), and abandoning one wastes the
+        # whole section AND caches nothing for the next run. While the
+        # worker's stack shows XLA compile/lowering frames, extend in
+        # slices as long as the global deadline (+grace) allows; a true
+        # wedge (no compile frame) still exits immediately, and the
+        # deadline+150 backstop bounds a never-returning compile.
+        while t.is_alive() and self.remaining() + self.grace_s > 60 \
+                and self._in_compile(t):
+            log(f"{name} still compiling at cap; extending "
+                f"({self.remaining():.0f}s of global budget left)")
+            t.join(min(30.0, self.remaining() + self.grace_s - 60))
         took = self._now() - t_start
         if t.is_alive():
             self.hang_seen = True

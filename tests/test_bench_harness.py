@@ -42,6 +42,40 @@ def test_hang_blocks_everything_after():
     assert r.skipped["core"] == "prior section hang"
 
 
+def test_cap_extends_while_worker_is_compiling():
+    # a cap overrun with the worker inside a compile/lowering frame is a
+    # slow relay compile, not a wedge (the r3 lesson): the runner keeps
+    # waiting within the global deadline instead of abandoning the
+    # section — abandoning caches nothing and nulls the headline
+    def backend_compile_and_load():  # frame name carries 'compile'
+        time.sleep(1.0)
+
+    r = bench.SectionRunner(deadline_s=100)
+    assert r.run("k8", 0.2, backend_compile_and_load) is True
+    assert not r.hang_seen
+    assert "k8" not in r.skipped
+
+
+def test_cap_extension_stops_at_global_deadline():
+    # a never-returning compile must still be bounded by the deadline
+    def backend_compile_and_load():
+        time.sleep(60)
+
+    r = bench.SectionRunner(deadline_s=0.5, grace_s=0.2)
+    t0 = time.monotonic()
+    assert r.run("k8", 0.2, backend_compile_and_load,
+                 min_required_s=0) is False
+    assert time.monotonic() - t0 < 10
+    assert r.hang_seen
+
+
+def test_plain_sleep_at_cap_is_still_a_hang():
+    # no compile frame in the stack -> the original wedge protocol
+    r = bench.SectionRunner(deadline_s=100)
+    assert r.run("sleepy", 0.2, lambda: time.sleep(60)) is False
+    assert r.hang_seen
+
+
 def test_deadline_refuses_sections_below_cold_minimum():
     clock = _FastClock()
     r = bench.SectionRunner(deadline_s=1000, now=clock)
